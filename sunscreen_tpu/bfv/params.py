@@ -1,0 +1,122 @@
+"""BFV encryption parameters + standard security tables.
+
+Replaces `seal_fhe/src/encryption_parameters.rs` (BfvEncryptionParameters
+Builder), `seal_fhe/src/modulus.rs:18-250` (CoefficientModulus::bfv_default,
+PlainModulus::batching) and the security-level plumbing in
+`sunscreen_runtime/src/metadata.rs:72` (`Params`).
+
+The max-log(Q) table is the homomorphicencryption.org HE-Standard table
+for ternary secrets (classical security) — the same table SEAL's
+`seal::util::global_variables` defaults conform to.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from sunscreen_tpu.math import primes
+
+# HE-Standard: max log2(q*p) for (security, N), ternary secret, classical.
+MAX_LOG_Q = {
+    128: {1024: 27, 2048: 54, 4096: 109, 8192: 218, 16384: 438, 32768: 881},
+    192: {1024: 19, 2048: 37, 4096: 75, 8192: 152, 16384: 305, 32768: 611},
+    256: {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237, 32768: 476},
+}
+
+SEALISH_MAX_LIMB_BITS = 60
+
+
+def batching_plain_modulus(poly_degree: int, bits: int) -> int:
+    """Smallest-count prime of `bits` bits with p = 1 mod 2N (enables SIMD
+    batching). Mirrors SEAL `PlainModulus::batching`."""
+    return primes.gen_ntt_primes(bits, 1, poly_degree)[0]
+
+
+def default_moduli(poly_degree: int, security: int = 128
+                   ) -> tuple[tuple[int, ...], int]:
+    """(ciphertext coeff moduli, special keyswitch prime) within the
+    HE-standard budget for (N, lambda). Mirrors the role of SEAL
+    `CoefficientModulus::bfv_default` — the last default prime there is
+    likewise reserved for key switching."""
+    total = MAX_LOG_Q[security][poly_degree]
+    special_bits = min(SEALISH_MAX_LIMB_BITS, max(total // 3, 2))
+    rem = total - special_bits
+    count = max(1, math.ceil(rem / 56))
+    base = rem // count
+    sizes = [base + (1 if i < rem - base * count else 0)
+             for i in range(count)]
+    special = primes.gen_ntt_primes(special_bits, 1, poly_degree)[0]
+    qs: list[int] = []
+    for b in sorted(set(sizes)):
+        need = sizes.count(b)
+        qs += primes.gen_ntt_primes(b, need, poly_degree,
+                                    skip=tuple([special] + qs))
+    assert len(qs) == count
+    return tuple(sorted(qs)), special
+
+
+@dataclass(frozen=True)
+class BfvParams:
+    """Scheme parameters. `coeff_modulus` are the ciphertext primes Q;
+    `special_modulus` is the key-switching prime P (SEAL: the trailing
+    prime of the encryption-parameter modulus chain).
+
+    Equivalent of the reference's `sunscreen_runtime::Params`
+    (`metadata.rs:72`): {lattice_dimension, coeff_modulus, plain_modulus,
+    security_level, scheme_type='bfv'}.
+    """
+
+    poly_degree: int
+    plain_modulus: int
+    coeff_modulus: tuple[int, ...]
+    special_modulus: int
+    security_level: int = 128
+
+    @staticmethod
+    def default(poly_degree: int, plain_modulus: int | None = None,
+                security: int = 128, batching: bool = True) -> "BfvParams":
+        if plain_modulus is None:
+            plain_modulus = (batching_plain_modulus(poly_degree, 20)
+                             if batching else 1 << 18)
+        qs, sp = default_moduli(poly_degree, security)
+        return BfvParams(poly_degree, plain_modulus, qs, sp, security)
+
+    @staticmethod
+    def insecure(poly_degree: int = 1024, plain_modulus: int | None = None,
+                 limbs: int = 2, limb_bits: int = 40) -> "BfvParams":
+        """Small test parameters (reference: `SealContext::new_insecure`,
+        `seal_fhe/src/context.rs:92` + the `insecure-params` feature)."""
+        if plain_modulus is None:
+            plain_modulus = batching_plain_modulus(poly_degree, 16)
+        sp = primes.gen_ntt_primes(limb_bits + 4, 1, poly_degree)[0]
+        qs = tuple(primes.gen_ntt_primes(limb_bits, limbs, poly_degree,
+                                         skip=(sp,)))
+        return BfvParams(poly_degree, plain_modulus, qs, sp,
+                         security_level=0)
+
+    def __post_init__(self):
+        n = self.poly_degree
+        assert n & (n - 1) == 0 and n >= 8
+        assert self.plain_modulus >= 2
+        assert self.plain_modulus < min(self.coeff_modulus), \
+            "plain modulus must be smaller than every coefficient modulus"
+        if self.security_level:
+            total = sum(q.bit_length() for q in self.coeff_modulus)
+            total += self.special_modulus.bit_length()
+            limit = MAX_LOG_Q[self.security_level].get(n, 0)
+            assert total <= limit, (
+                f"log2(Q*P)={total} exceeds {self.security_level}-bit "
+                f"security budget {limit} for N={n}")
+
+    @property
+    def q_product(self) -> int:
+        out = 1
+        for q in self.coeff_modulus:
+            out *= q
+        return out
+
+    @property
+    def supports_batching(self) -> bool:
+        t, n = self.plain_modulus, self.poly_degree
+        return t % (2 * n) == 1 and primes.is_prime(t)

@@ -1,0 +1,179 @@
+"""Compiler builder: trace -> passes -> params search -> Application.
+
+Replaces `sunscreen/src/compiler.rs:261-720` (`GenericCompiler` /
+`FheCompiler`), `sunscreen/src/params.rs` (`PlainModulusConstraint`,
+`determine_params`) and `sunscreen/src/lib.rs:83-218` (`Application`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sunscreen_tpu.bfv.params import MAX_LOG_Q, BfvParams, \
+    batching_plain_modulus, default_moduli
+from sunscreen_tpu.compiler import noise as noise_model
+from sunscreen_tpu.compiler.ir import FheProgram
+from sunscreen_tpu.compiler.passes import compile_program
+from sunscreen_tpu.compiler.trace import CallSignature, FheProgramFn
+
+DEFAULT_NOISE_MARGIN_BITS = 20  # reference: compiler.rs:148-159
+
+
+class PlainModulusConstraint:
+    """Reference: `sunscreen/src/params.rs:19-35`."""
+
+    def __init__(self, raw: int | None = None,
+                 batching_min_bits: int | None = None):
+        assert (raw is None) != (batching_min_bits is None)
+        self.raw = raw
+        self.batching_min_bits = batching_min_bits
+
+    @staticmethod
+    def Raw(v: int) -> "PlainModulusConstraint":
+        return PlainModulusConstraint(raw=v)
+
+    @staticmethod
+    def BatchingMinimum(bits: int) -> "PlainModulusConstraint":
+        return PlainModulusConstraint(batching_min_bits=bits)
+
+    def modulus_for(self, poly_degree: int) -> int:
+        if self.raw is not None:
+            return self.raw
+        return batching_plain_modulus(poly_degree, self.batching_min_bits)
+
+
+@dataclass
+class CompiledFheProgram:
+    """Reference: `sunscreen_runtime/src/metadata.rs` CompiledFheProgram
+    {IR, signature, required keys} — plus the literal plaintext pool."""
+
+    name: str
+    prog: FheProgram
+    signature: CallSignature
+    literals: list[np.ndarray]
+    params: BfvParams
+
+    @property
+    def requires_relin_keys(self) -> bool:
+        return self.prog.requires_relin_keys
+
+    @property
+    def requires_galois_keys(self) -> bool:
+        return self.prog.requires_galois_keys
+
+    @property
+    def nodes(self):
+        return self.prog.nodes
+
+
+@dataclass
+class Application:
+    """name -> program map sharing one parameter set (reference:
+    `Application<T>`, `sunscreen/src/lib.rs:83-218`)."""
+
+    params: BfvParams
+    programs: dict[str, CompiledFheProgram] = field(default_factory=dict)
+
+    def get_program(self, name_or_fn) -> CompiledFheProgram:
+        name = getattr(name_or_fn, "name", name_or_fn)
+        return self.programs[name]
+
+
+class Compiler:
+    """Builder. `Compiler().fhe_program(f).compile()` mirrors the
+    reference's type-evolving builder (scheme/name checks:
+    `compiler.rs:360-412`; search: `compiler.rs:413-457`)."""
+
+    SEARCH_DEGREES = (1024, 2048, 4096, 8192, 16384, 32768)
+
+    def __init__(self):
+        self._programs: list[FheProgramFn] = []
+        self._params: BfvParams | None = None
+        self._plain_constraint = PlainModulusConstraint.BatchingMinimum(20)
+        self._security = 128
+        self._noise_margin = DEFAULT_NOISE_MARGIN_BITS
+
+    def fhe_program(self, prog: FheProgramFn) -> "Compiler":
+        if not isinstance(prog, FheProgramFn):
+            raise TypeError("expected an @fhe_program-decorated function")
+        if any(p.name == prog.name for p in self._programs):
+            raise ValueError(f"duplicate program name {prog.name!r}")
+        self._programs.append(prog)
+        return self
+
+    def with_params(self, params: BfvParams) -> "Compiler":
+        self._params = params
+        return self
+
+    def plain_modulus_constraint(
+            self, c: PlainModulusConstraint) -> "Compiler":
+        self._plain_constraint = c
+        return self
+
+    def plain_modulus(self, v: int) -> "Compiler":
+        return self.plain_modulus_constraint(PlainModulusConstraint.Raw(v))
+
+    def security_level(self, bits: int) -> "Compiler":
+        self._security = bits
+        return self
+
+    def additional_noise_budget(self, bits: int) -> "Compiler":
+        self._noise_margin = bits
+        return self
+
+    # -- param search (reference: determine_params, params.rs:119-236) ------
+
+    def _search_params(self) -> BfvParams:
+        last_err: Exception | None = None
+        for n in self.SEARCH_DEGREES:
+            if n not in MAX_LOG_Q[self._security]:
+                continue
+            try:
+                t = self._plain_constraint.modulus_for(n)
+                qs, sp = default_moduli(n, self._security)
+                params = BfvParams(n, t, qs, sp, self._security)
+            except (AssertionError, ValueError) as e:
+                last_err = e
+                continue
+            ok = True
+            for pf in self._programs:
+                try:
+                    prog, _, _ = pf.build(params)
+                    prog = compile_program(prog)
+                except Exception as e:  # e.g. literal overflow at small N
+                    last_err = e
+                    ok = False
+                    break
+                budget = self._chained_budget(prog, params, pf.chain_count)
+                if budget < self._noise_margin:
+                    ok = False
+                    break
+            if ok:
+                return params
+        raise RuntimeError(
+            f"no parameter set satisfies the programs (last error: "
+            f"{last_err})")
+
+    @staticmethod
+    def _chained_budget(prog, params, chain_count: int) -> float:
+        v = None
+        for _ in range(max(1, chain_count)):
+            bits = noise_model.predict_noise(prog, params, input_noise=v)
+            v = 2.0 ** bits
+        return -(np.log2(v) + 1.0)
+
+    # -- compile -------------------------------------------------------------
+
+    def compile(self) -> Application:
+        if not self._programs:
+            raise ValueError("no programs to compile")
+        params = self._params or self._search_params()
+        app = Application(params)
+        for pf in self._programs:
+            prog, sig, literals = pf.build(params)
+            prog = compile_program(prog)
+            app.programs[pf.name] = CompiledFheProgram(
+                pf.name, prog, sig, literals, params)
+        return app

@@ -1,0 +1,182 @@
+"""Typed FHE runtime: keygen / encrypt / run / decrypt.
+
+Replaces `sunscreen_runtime/src/runtime.rs` (`GenericRuntime`:
+generate_keys :247-285, encrypt :424-529, run :310-416, decrypt
+:145-208, measure_noise_budget :221-234) and the typed
+Ciphertext/Plaintext wrappers (`src/lib.rs:135-241`). Where the
+reference's `run` drives the rayon interpreter over SEAL FFI, here it
+calls the lowered jitted XLA function (cached per program).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from sunscreen_tpu.bfv import get_context
+from sunscreen_tpu.bfv import keys as bkeys
+from sunscreen_tpu.bfv import ops as bops
+from sunscreen_tpu.bfv.params import BfvParams
+from sunscreen_tpu.compiler.compiler import CompiledFheProgram
+from sunscreen_tpu.compiler.lower import lower_program
+from sunscreen_tpu.types.bfv_types import BfvType, resolve_type
+
+
+class RuntimeError_(Exception):
+    """Typed runtime failure (reference: `sunscreen_runtime/src/error.rs`)."""
+
+
+class TooMuchNoise(RuntimeError_):
+    """Noise budget exhausted — decryption would be wrong (reference:
+    `runtime.rs:182-187`)."""
+
+
+@dataclass
+class Ciphertext:
+    """Typed ciphertext: one or more BFV ciphertext arrays + type tag
+    (reference: `Ciphertext`/`InnerCiphertext`, `src/lib.rs:161-210`)."""
+
+    type_name: str
+    cts: list  # list of uint64 [n_comp, k, N]
+    params: BfvParams
+
+
+@dataclass
+class PublicKeySet:
+    """Public key + optional relin/galois keys (reference: `PublicKey`
+    struct bundling galois/relin keys, `src/keys.rs:25-53`)."""
+
+    public_key: bkeys.PublicKey
+    relin_key: bkeys.KswKey | None = None
+    galois_keys: bkeys.GaloisKeys | None = None
+
+
+@dataclass
+class PrivateKey:
+    sk: bkeys.SecretKey
+
+
+class FheRuntime:
+    """`Runtime::new_fhe` equivalent (`runtime.rs:829-917`)."""
+
+    def __init__(self, params: BfvParams):
+        self.params = params
+        self.ctx = get_context(params)
+        self._lowered: dict[int, object] = {}
+
+    # -- keys ----------------------------------------------------------------
+
+    def generate_keys(self, seed: int = 0, galois: bool = True,
+                      relin: bool = True
+                      ) -> tuple[PublicKeySet, PrivateKey]:
+        key = jax.random.key(seed)
+        sk = bkeys.gen_secret_key(self.ctx, jax.random.fold_in(key, 0))
+        pk = bkeys.gen_public_key(self.ctx, sk, jax.random.fold_in(key, 1))
+        rlk = bkeys.gen_relin_key(
+            self.ctx, sk, jax.random.fold_in(key, 2)) if relin else None
+        gks = bkeys.gen_galois_keys(
+            self.ctx, sk, jax.random.fold_in(key, 3),
+            bkeys.default_rotation_elements(self.ctx)) if galois else None
+        return PublicKeySet(pk, rlk, gks), PrivateKey(sk)
+
+    # -- encrypt / decrypt ---------------------------------------------------
+
+    def encrypt(self, value: BfvType, public_key: PublicKeySet,
+                seed: int | None = None) -> Ciphertext:
+        tcls = type(value)
+        polys = tcls.encode(value.value, self.params)
+        if polys.ndim == 1:
+            polys = polys[None, :]
+        key = jax.random.key(np.random.randint(0, 2**31)
+                             if seed is None else seed)
+        cts = [bops.encrypt(self.ctx, public_key.public_key,
+                            polys[i], jax.random.fold_in(key, i))
+               for i in range(polys.shape[0])]
+        return Ciphertext(tcls._type_name(), cts, self.params)
+
+    def decrypt(self, ct: Ciphertext, private_key: PrivateKey):
+        tcls = resolve_type(ct.type_name)
+        for c in ct.cts:
+            if float(bops.invariant_noise_budget(
+                    self.ctx, private_key.sk, c)) <= 0:
+                raise TooMuchNoise(
+                    "ciphertext noise budget exhausted")
+        polys = np.stack([
+            np.asarray(bops.decrypt(self.ctx, private_key.sk, c))
+            for c in ct.cts])
+        return tcls.decode(polys if polys.shape[0] > 1 else polys[0],
+                           self.params)
+
+    def measure_noise_budget(self, ct: Ciphertext,
+                             private_key: PrivateKey) -> float:
+        return min(float(bops.invariant_noise_budget(
+            self.ctx, private_key.sk, c)) for c in ct.cts)
+
+    # -- run -----------------------------------------------------------------
+
+    def _get_lowered(self, prog: CompiledFheProgram,
+                     public_key: PublicKeySet):
+        pid = id(prog)
+        if pid not in self._lowered:
+            rlk = public_key.relin_key
+            gks = public_key.galois_keys
+            if prog.requires_relin_keys and rlk is None:
+                raise RuntimeError_(
+                    f"program {prog.name!r} requires relin keys")
+            if prog.requires_galois_keys and gks is None:
+                raise RuntimeError_(
+                    f"program {prog.name!r} requires galois keys")
+            self._lowered[pid] = lower_program(prog, self.ctx, rlk, gks)
+        return self._lowered[pid]
+
+    def run(self, prog: CompiledFheProgram, args: list,
+            public_key: PublicKeySet) -> list[Ciphertext]:
+        """Validates arg types against the signature then executes the
+        jitted program (reference: `runtime.rs:310-416` + run.rs)."""
+        if len(args) != len(prog.signature.arg_types):
+            raise RuntimeError_(
+                f"program {prog.name!r} expects "
+                f"{len(prog.signature.arg_types)} args, got {len(args)}")
+        flat = []
+        for a, (tname, is_cipher) in zip(args, prog.signature.arg_types):
+            if is_cipher:
+                if not isinstance(a, Ciphertext):
+                    raise RuntimeError_(f"expected Ciphertext, got "
+                                        f"{type(a).__name__}")
+                inner = tname[len("Cipher<"):-1] \
+                    if tname.startswith("Cipher<") else tname
+                if a.type_name != inner:
+                    raise RuntimeError_(
+                        f"argument type mismatch: expected {tname}, got "
+                        f"{a.type_name}")
+                flat.extend(a.cts)
+            else:
+                polys = resolve_type(tname).encode(
+                    a.value if isinstance(a, BfvType) else a, self.params)
+                if polys.ndim == 1:
+                    polys = polys[None, :]
+                flat.extend(list(polys))
+        fn = self._get_lowered(prog, public_key)
+        outs = fn(*flat)
+        # regroup outputs by signature
+        results = []
+        i = 0
+        for (tname, _), n_ct in zip(prog.signature.ret_types,
+                                    prog.signature.num_ciphertexts):
+            results.append(Ciphertext(tname, outs[i:i + n_ct],
+                                      self.params))
+            i += n_ct
+        return results
+
+
+def Runtime_new_fhe(params: BfvParams) -> FheRuntime:
+    return FheRuntime(params)
+
+
+class Runtime:
+    """Namespace mirroring the reference constructor set
+    (`Runtime::new_fhe/new_zkp/new_fhe_zkp`)."""
+
+    new_fhe = staticmethod(Runtime_new_fhe)

@@ -1,0 +1,4 @@
+"""FHE/ZKP DSL types (replaces `sunscreen/src/types/`)."""
+
+from sunscreen_tpu.types.bfv_types import (  # noqa: F401
+    Batched, BfvType, Cipher, Fractional, Rational, Signed, Unsigned64)

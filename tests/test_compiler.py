@@ -1,0 +1,208 @@
+"""Compiler + runtime end-to-end: the reference's integration-test
+surface (`sunscreen/tests/{signed,fractional,rational,simd}.rs` and
+`examples/simple_multiply`)."""
+
+import numpy as np
+import pytest
+
+from sunscreen_tpu.bfv import BfvParams
+from sunscreen_tpu.compiler import Compiler, Op, fhe_program
+from sunscreen_tpu.runtime import Runtime, TooMuchNoise
+from sunscreen_tpu.types import (Batched, Cipher, Fractional, Rational,
+                                 Signed, Unsigned64)
+
+PARAMS = BfvParams.insecure(poly_degree=1024, limbs=2, limb_bits=40)
+
+
+@fhe_program(scheme="bfv")
+def simple_multiply(a: Cipher[Signed], b: Cipher[Signed]):
+    return a * b
+
+
+@pytest.fixture(scope="module")
+def rt_keys():
+    rt = Runtime.new_fhe(PARAMS)
+    pub, priv = rt.generate_keys(seed=1, galois=True)
+    return rt, pub, priv
+
+
+def compile_with_params(*progs):
+    c = Compiler().with_params(PARAMS)
+    for p in progs:
+        c = c.fhe_program(p)
+    return c.compile()
+
+
+def test_simple_multiply(rt_keys):
+    # reference: examples/simple_multiply
+    rt, pub, priv = rt_keys
+    app = compile_with_params(simple_multiply)
+    prog = app.get_program(simple_multiply)
+    assert prog.requires_relin_keys  # relin inserted after the multiply
+    a = rt.encrypt(Signed(15), pub, seed=2)
+    b = rt.encrypt(Signed(-5), pub, seed=3)
+    (out,) = rt.run(prog, [a, b], pub)
+    assert rt.decrypt(out, priv) == -75
+
+
+def test_relin_insertion_graph_shape():
+    # reference: insert_relinearizations.rs:82-141 unit test
+    app = compile_with_params(simple_multiply)
+    prog = app.get_program(simple_multiply).prog
+    assert prog.count(Op.MULTIPLY) == 1
+    assert prog.count(Op.RELINEARIZE) == 1
+    muls = [i for i, n in enumerate(prog.nodes) if n.op == Op.MULTIPLY]
+    relins = [i for i, n in enumerate(prog.nodes)
+              if n.op == Op.RELINEARIZE]
+    assert prog.nodes[relins[0]].operands == (muls[0],)
+
+
+def test_literals_and_mixed_ops(rt_keys):
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def affine(x: Cipher[Signed]):
+        return 3 * x + 7 - Signed_lit()
+
+    def Signed_lit():
+        return 2
+
+    app = compile_with_params(affine)
+    x = rt.encrypt(Signed(10), pub, seed=4)
+    (out,) = rt.run(app.get_program(affine), [x], pub)
+    assert rt.decrypt(out, priv) == 3 * 10 + 7 - 2
+
+
+def test_unsigned(rt_keys):
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def umul(a: Cipher[Unsigned64], b: Cipher[Unsigned64]):
+        return a * b
+
+    app = compile_with_params(umul)
+    a = rt.encrypt(Unsigned64(123), pub, seed=5)
+    b = rt.encrypt(Unsigned64(456), pub, seed=6)
+    (out,) = rt.run(app.get_program(umul), [a, b], pub)
+    assert rt.decrypt(out, priv) == 123 * 456
+
+
+def test_fractional(rt_keys):
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def fma(a: Cipher[Fractional[16]], b: Cipher[Fractional[16]]):
+        return a * b + 0.5
+
+    app = compile_with_params(fma)
+    a = rt.encrypt(Fractional[16](3.25), pub, seed=7)
+    b = rt.encrypt(Fractional[16](-2.5), pub, seed=8)
+    (out,) = rt.run(app.get_program(fma), [a, b], pub)
+    assert rt.decrypt(out, priv) == pytest.approx(3.25 * -2.5 + 0.5)
+
+
+def test_rational_division(rt_keys):
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def ratio(a: Cipher[Rational], b: Cipher[Rational]):
+        return (a / b) + a * 2
+
+    app = compile_with_params(ratio)
+    a = rt.encrypt(Rational(3, 4), pub, seed=9)
+    b = rt.encrypt(Rational(1, 2), pub, seed=10)
+    (out,) = rt.run(app.get_program(ratio), [a, b], pub)
+    got = rt.decrypt(out, priv)
+    assert float(got) == pytest.approx(3 / 4 / (1 / 2) + 2 * 3 / 4)
+
+
+def test_batched_rotations(rt_keys):
+    # reference: sunscreen/tests/simd.rs
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def rot(x: Cipher[Batched]):
+        return (x << 2) + x.swap_rows()
+
+    app = compile_with_params(rot)
+    prog = app.get_program(rot)
+    assert prog.requires_galois_keys
+    n = PARAMS.poly_degree
+    v = np.arange(n, dtype=np.int64) % 97
+    ct = rt.encrypt(Batched(v), pub, seed=11)
+    (out,) = rt.run(prog, [ct], pub)
+    got = rt.decrypt(out, priv)
+    half = n // 2
+    rows = v.reshape(2, half)
+    expect = (np.concatenate([np.roll(rows[0], -2), np.roll(rows[1], -2)])
+              + np.concatenate([rows[1], rows[0]]))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_multi_program_shared_params(rt_keys):
+    # reference: sunscreen/tests/multi_program.rs
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def add2(a: Cipher[Signed], b: Cipher[Signed]):
+        return a + b
+
+    @fhe_program(scheme="bfv")
+    def mul2(a: Cipher[Signed], b: Cipher[Signed]):
+        return a * b
+
+    app = compile_with_params(add2, mul2)
+    assert set(app.programs) == {"add2", "mul2"}
+    a = rt.encrypt(Signed(20), pub, seed=12)
+    b = rt.encrypt(Signed(22), pub, seed=13)
+    (s,) = rt.run(app.get_program(add2), [a, b], pub)
+    (p,) = rt.run(app.get_program(mul2), [a, b], pub)
+    assert rt.decrypt(s, priv) == 42
+    assert rt.decrypt(p, priv) == 440
+
+
+def test_multiple_outputs(rt_keys):
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def two(a: Cipher[Signed], b: Cipher[Signed]):
+        return a + b, a - b
+
+    app = compile_with_params(two)
+    a = rt.encrypt(Signed(9), pub, seed=14)
+    b = rt.encrypt(Signed(4), pub, seed=15)
+    s, d = rt.run(app.get_program(two), [a, b], pub)
+    assert rt.decrypt(s, priv) == 13
+    assert rt.decrypt(d, priv) == 5
+
+
+def test_param_search_smoke():
+    # analytic search (reference: ParamsMode::Search) — no execution
+    c = Compiler().fhe_program(simple_multiply)
+    params = c._search_params()
+    assert params.poly_degree >= 4096
+    from sunscreen_tpu.compiler.passes import compile_program
+    prog, _, _ = simple_multiply.build(params)
+    from sunscreen_tpu.compiler.noise import predicted_budget
+    assert predicted_budget(compile_program(prog), params) >= 20
+
+
+def test_signature_validation(rt_keys):
+    rt, pub, priv = rt_keys
+    app = compile_with_params(simple_multiply)
+    prog = app.get_program(simple_multiply)
+    a = rt.encrypt(Signed(1), pub, seed=16)
+    u = rt.encrypt(Unsigned64(1), pub, seed=17)
+    with pytest.raises(Exception):
+        rt.run(prog, [a], pub)        # wrong arity
+    with pytest.raises(Exception):
+        rt.run(prog, [a, u], pub)     # wrong type
+
+
+def test_ir_serialization_roundtrip():
+    from sunscreen_tpu.compiler.ir import FheProgram
+    app = compile_with_params(simple_multiply)
+    prog = app.get_program(simple_multiply).prog
+    rt = FheProgram.from_json(prog.to_json())
+    assert [n.op for n in rt.nodes] == [n.op for n in prog.nodes]
+    assert rt.outputs == prog.outputs
