@@ -23,6 +23,7 @@ from sunscreen_tpu.math import modular as m
 from sunscreen_tpu.math import sampling
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class SecretKey:
     s: jnp.ndarray             # int8 [N] ternary
@@ -30,12 +31,14 @@ class SecretKey:
     s_ntt_key: jnp.ndarray     # [k+1, N] NTT over Q ∪ {p_sp}
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PublicKey:
     p0: jnp.ndarray            # [k, N] NTT domain
     p1: jnp.ndarray            # [k, N] NTT domain
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class KswKey:
     """One key-switching key: digit-major [k, k+1, N], NTT domain."""
@@ -43,6 +46,7 @@ class KswKey:
     k1: jnp.ndarray
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GaloisKeys:
     keys: dict[int, KswKey] = field(default_factory=dict)

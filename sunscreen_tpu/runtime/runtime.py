@@ -171,12 +171,52 @@ class FheRuntime:
         return results
 
 
+class ZkpRuntime:
+    """ZKP prove/verify runtime (reference: `GenericRuntime` with Zkp
+    marker; `prove`/`verify`: `runtime.rs:681-769`)."""
+
+    def __init__(self, backend=None):
+        from sunscreen_tpu.zk.backend import BulletproofsBackend
+        self.backend = backend or BulletproofsBackend()
+
+    def prove(self, program, private_inputs, public_inputs=(),
+              constant_inputs=()):
+        prog = program.build()
+        return self.backend.prove(
+            prog, [int(x) for x in private_inputs],
+            [int(x) for x in public_inputs],
+            [int(x) for x in constant_inputs])
+
+    def verify(self, program, proof, public_inputs=(),
+               constant_inputs=()) -> bool:
+        prog = program.build()
+        return self.backend.verify(
+            prog, proof, [int(x) for x in public_inputs],
+            [int(x) for x in constant_inputs])
+
+
+class FheZkpRuntime(FheRuntime, ZkpRuntime):
+    """Combined runtime (reference: `Runtime::new_fhe_zkp`)."""
+
+    def __init__(self, params: BfvParams, backend=None):
+        FheRuntime.__init__(self, params)
+        ZkpRuntime.__init__(self, backend)
+
+
 def Runtime_new_fhe(params: BfvParams) -> FheRuntime:
     return FheRuntime(params)
 
 
 class Runtime:
     """Namespace mirroring the reference constructor set
-    (`Runtime::new_fhe/new_zkp/new_fhe_zkp`)."""
+    (`Runtime::new_fhe/new_zkp/new_fhe_zkp`, `runtime.rs:829-917`)."""
 
     new_fhe = staticmethod(Runtime_new_fhe)
+
+    @staticmethod
+    def new_zkp(backend=None) -> ZkpRuntime:
+        return ZkpRuntime(backend)
+
+    @staticmethod
+    def new_fhe_zkp(params: BfvParams, backend=None) -> FheZkpRuntime:
+        return FheZkpRuntime(params, backend)
