@@ -113,20 +113,40 @@ def decrypt(ctx: BfvContext, sk: SecretKey, ct):
     return msg
 
 
+def noise_distance_words(ctx: BfvContext, sk: SecretKey, ct):
+    """Max over coefficients of min(f, 1-f) where f is the exact
+    128-bit fractional part of t*c(s)/Q — pure integer math (works
+    inside jit on any backend). Returns (hi, lo) u64 words of the
+    2^-128-scaled distance."""
+    v = _ct_dot_s(ctx, ct, sk)
+    _, (frac_hi, frac_lo) = ctx.decrypt_scaler.apply(v)
+    # 1 - f as a 128-bit value: (2^128 - f)
+    neg_lo = (~frac_lo) + U64(1)
+    neg_hi = (~frac_hi) + jnp.where(frac_lo == 0, U64(1), U64(0))
+    f_smaller = (frac_hi < neg_hi) | ((frac_hi == neg_hi)
+                                      & (frac_lo <= neg_lo))
+    d_hi = jnp.where(f_smaller, frac_hi, neg_hi)
+    d_lo = jnp.where(f_smaller, frac_lo, neg_lo)
+    # max over coefficients by (hi, lo) lexicographic order
+    m_hi = jnp.max(d_hi, axis=-1)
+    is_max_hi = d_hi == m_hi[..., None]
+    m_lo = jnp.max(jnp.where(is_max_hi, d_lo, U64(0)), axis=-1)
+    return m_hi, m_lo
+
+
 def invariant_noise_budget(ctx: BfvContext, sk: SecretKey, ct):
     """-log2(2*|v|) where t/Q*(c(s)) = m + v + a*t, |v| in [0, 1/2).
 
     SEAL: `Decryptor::invariant_noise_budget`
     (`encryptor_decryptor.rs:588+`). Measured from the exact 128
     fractional bits of the decryption scale-and-round; saturates at ~126
-    bits (enough for every <= 128-bit Q chain)."""
-    v = _ct_dot_s(ctx, ct, sk)
-    _, (frac_hi, frac_lo) = ctx.decrypt_scaler.apply(v)
-    f = (frac_hi.astype(jnp.float64) * 2.0**-64
-         + frac_lo.astype(jnp.float64) * 2.0**-128)
-    dist = jnp.minimum(f, 1.0 - f)
-    worst = jnp.max(dist, axis=-1)
-    return jnp.floor(-jnp.log2(2.0 * jnp.maximum(worst, 2.0**-127)))
+    bits (enough for every <= 128-bit Q chain). Host-side epilogue (the
+    log2) on integer device words."""
+    m_hi, m_lo = jax.device_get(noise_distance_words(ctx, sk, ct))
+    dist = (np.asarray(m_hi, dtype=np.float64) * 2.0**-64
+            + np.asarray(m_lo, dtype=np.float64) * 2.0**-128)
+    dist = np.maximum(dist, 2.0**-127)
+    return np.floor(-np.log2(2.0 * dist))
 
 
 # --------------------------------------------------------------------------

@@ -65,20 +65,35 @@ class FheRuntime:
         self.params = params
         self.ctx = get_context(params)
         self._lowered: dict[int, object] = {}
+        self._jit_cache: dict = {}
+
+    def _jitted(self, name, fn):
+        """Whole-flow jit — per-op dispatch to a (possibly tunneled) TPU
+        is latency-bound, so keygen/encrypt/decrypt each compile to one
+        XLA computation."""
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
 
     # -- keys ----------------------------------------------------------------
 
     def generate_keys(self, seed: int = 0, galois: bool = True,
                       relin: bool = True
                       ) -> tuple[PublicKeySet, PrivateKey]:
-        key = jax.random.key(seed)
-        sk = bkeys.gen_secret_key(self.ctx, jax.random.fold_in(key, 0))
-        pk = bkeys.gen_public_key(self.ctx, sk, jax.random.fold_in(key, 1))
-        rlk = bkeys.gen_relin_key(
-            self.ctx, sk, jax.random.fold_in(key, 2)) if relin else None
-        gks = bkeys.gen_galois_keys(
-            self.ctx, sk, jax.random.fold_in(key, 3),
-            bkeys.default_rotation_elements(self.ctx)) if galois else None
+        ctx = self.ctx
+
+        def build(key):
+            sk = bkeys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+            pk = bkeys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+            rlk = bkeys.gen_relin_key(
+                ctx, sk, jax.random.fold_in(key, 2)) if relin else None
+            gks = bkeys.gen_galois_keys(
+                ctx, sk, jax.random.fold_in(key, 3),
+                bkeys.default_rotation_elements(ctx)) if galois else None
+            return sk, pk, rlk, gks
+
+        sk, pk, rlk, gks = self._jitted(
+            ("keygen", galois, relin), build)(jax.random.key(seed))
         return PublicKeySet(pk, rlk, gks), PrivateKey(sk)
 
     # -- encrypt / decrypt ---------------------------------------------------
@@ -91,28 +106,45 @@ class FheRuntime:
             polys = polys[None, :]
         key = jax.random.key(np.random.randint(0, 2**31)
                              if seed is None else seed)
-        cts = [bops.encrypt(self.ctx, public_key.public_key,
-                            polys[i], jax.random.fold_in(key, i))
+        enc = self._jitted("encrypt", lambda pk, p, k: bops.encrypt(
+            self.ctx, pk, p, k))
+        cts = [enc(public_key.public_key, polys[i],
+                   jax.random.fold_in(key, i))
                for i in range(polys.shape[0])]
         return Ciphertext(tcls._type_name(), cts, self.params)
 
+    def _decrypt_and_noise(self, sk, c):
+        return (bops.decrypt(self.ctx, sk, c),
+                bops.noise_distance_words(self.ctx, sk, c))
+
+    @staticmethod
+    def _budget_from_words(words) -> float:
+        m_hi, m_lo = words
+        dist = (float(m_hi) * 2.0**-64 + float(m_lo) * 2.0**-128)
+        dist = max(dist, 2.0**-127)
+        return float(np.floor(-np.log2(2.0 * dist)))
+
     def decrypt(self, ct: Ciphertext, private_key: PrivateKey):
         tcls = resolve_type(ct.type_name)
+        polys = []
         for c in ct.cts:
-            if float(bops.invariant_noise_budget(
-                    self.ctx, private_key.sk, c)) <= 0:
-                raise TooMuchNoise(
-                    "ciphertext noise budget exhausted")
-        polys = np.stack([
-            np.asarray(bops.decrypt(self.ctx, private_key.sk, c))
-            for c in ct.cts])
+            fn = self._jitted(("decrypt", c.shape),
+                              self._decrypt_and_noise)
+            poly, words = fn(private_key.sk, c)
+            if self._budget_from_words(words) <= 0:
+                raise TooMuchNoise("ciphertext noise budget exhausted")
+            polys.append(np.asarray(poly))
+        polys = np.stack(polys)
         return tcls.decode(polys if polys.shape[0] > 1 else polys[0],
                            self.params)
 
     def measure_noise_budget(self, ct: Ciphertext,
                              private_key: PrivateKey) -> float:
-        return min(float(bops.invariant_noise_budget(
-            self.ctx, private_key.sk, c)) for c in ct.cts)
+        return min(
+            self._budget_from_words(
+                self._jitted(("decrypt", c.shape),
+                             self._decrypt_and_noise)(
+                    private_key.sk, c)[1]) for c in ct.cts)
 
     # -- run -----------------------------------------------------------------
 

@@ -1,0 +1,99 @@
+"""Exact negacyclic torus-polynomial products via CRT NTT.
+
+TPU-native replacement for the reference's f64 negacyclic FFT
+(`sunscreen_tfhe/src/math/fft/negacyclic/mod.rs` + AVX2 SIMD path):
+TPUs have no native f64, so external products run EXACTLY — small
+signed gadget digits times mod-2^64 torus polynomials through a
+two-prime CRT NTT, with an exact fixed-point-corrected conversion back
+to Z/2^64. No precision analysis needed: results are bit-exact for
+|product coefficients| < C/2 ~ 2^123.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from sunscreen_tpu.math import modular as m
+from sunscreen_tpu.math import ntt, primes, rns
+
+U64 = jnp.uint64
+
+
+class TorusNttPlan:
+    """Negacyclic multiply of signed-int polys by torus polys, exact
+    mod 2^64."""
+
+    def __init__(self, n: int):
+        self.n = n
+        mods = tuple(primes.gen_ntt_primes(62, 2, n))
+        self.base = rns.RnsBase(mods)
+        self.plan = ntt.get_plan(n, mods)
+        k = 2
+        # (C/c_i) mod 2^64 and C mod 2^64 for wrapping reconstruction
+        self.theta = jnp.asarray(np.array(
+            [p & 0xFFFFFFFFFFFFFFFF for p in self.base.punctured],
+            dtype=np.uint64)).reshape(k, 1)
+        self.c_mod = U64(self.base.product & 0xFFFFFFFFFFFFFFFF)
+
+    def torus_to_rns(self, t):
+        """u64 torus [..., N] -> [..., 2, N] residues."""
+        k = self.base.k
+        q = self.base.q_dev.reshape(k, 1)
+        return m.barrett_reduce_64(
+            t[..., None, :], q,
+            self.base.ratio_hi_dev.reshape(k, 1),
+            self.base.ratio_lo_dev.reshape(k, 1))
+
+    def signed_to_rns(self, d):
+        """signed int64 digits [..., N] -> [..., 2, N] residues."""
+        from sunscreen_tpu.math import sampling
+        return sampling.signed_to_rns(d, self.base.q_dev)
+
+    def fwd(self, x_rns):
+        return self.plan.fwd(x_rns)
+
+    def pointwise(self, a, b):
+        return self.plan.pointwise_mul(a, b)
+
+    def add(self, a, b):
+        k = self.base.k
+        return m.add_mod(a, b, self.base.q_dev.reshape(k, 1))
+
+    def to_torus(self, x_rns):
+        """[..., 2, N] residues of a centered value |X| < C/2 ->
+        exact u64 (mod 2^64)."""
+        y = self.base.normalize_digits(x_rns)
+        (_, alpha), _ = rns.fixed_point_dot(
+            y, self.base.inv_q_fp_hi, self.base.inv_q_fp_lo,
+            add_half=True)
+        total = jnp.sum(y * self.theta, axis=-2)  # wrapping mod 2^64
+        return total - alpha * self.c_mod
+
+    def negacyclic_mul_signed_torus(self, digits, torus_poly):
+        """Exact negacyclic (digits * torus_poly) mod 2^64.
+        digits: int64 [..., N] small; torus_poly: u64 [..., N]."""
+        a = self.fwd(self.signed_to_rns(digits))
+        b = self.fwd(self.torus_to_rns(torus_poly))
+        prod = self.plan.inv(self.pointwise(a, b))
+        return self.to_torus(prod)
+
+
+@lru_cache(maxsize=16)
+def get_torus_plan(n: int) -> TorusNttPlan:
+    return TorusNttPlan(n)
+
+
+def negacyclic_monomial_mul(poly, e, n: int):
+    """X^e * poly for e in [0, 2N), traced e OK: gather with sign.
+    poly: u64 [..., N]."""
+    e = jnp.asarray(e, dtype=jnp.int64)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    src = (idx - e) % (2 * n)
+    neg = src >= n
+    src = jnp.where(neg, src - n, src)
+    gathered = jnp.take(poly, src, axis=-1)
+    return jnp.where(neg, (-gathered.astype(jnp.int64)).astype(U64),
+                     gathered)

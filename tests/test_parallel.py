@@ -1,0 +1,94 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 "TPU translation": same jitted fns on 1 vs N devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sunscreen_tpu.math import ntt, primes
+from sunscreen_tpu.parallel import (DistributedNttPlan,
+                                    make_distributed_negacyclic_mul)
+
+RNG = np.random.default_rng(9)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    return Mesh(np.array(devs[:8]), axis_names=("coeff",))
+
+
+def test_distributed_ntt_matches_single_device(mesh):
+    n = 256
+    moduli = tuple(primes.gen_ntt_primes(50, 2, n))
+    dplan = DistributedNttPlan(n, moduli)
+    ref_plan = ntt.get_plan(n, moduli)
+    k = len(moduli)
+    a = np.stack([RNG.integers(0, q, n, dtype=np.uint64)
+                  for q in moduli])
+    b = np.stack([RNG.integers(0, q, n, dtype=np.uint64)
+                  for q in moduli])
+    expect = np.asarray(ref_plan.negacyclic_mul(jnp.asarray(a),
+                                                jnp.asarray(b)))
+    fn = make_distributed_negacyclic_mul(dplan, mesh)
+    am = a.reshape(k, dplan.n1, dplan.n2)
+    bm = b.reshape(k, dplan.n1, dplan.n2)
+    sharding = NamedSharding(mesh, P(None, None, "coeff"))
+    got = np.asarray(fn(jax.device_put(am, sharding),
+                        jax.device_put(bm, sharding)))
+    np.testing.assert_array_equal(got.reshape(k, n), expect)
+
+
+def test_distributed_ntt_roundtrip_identity(mesh):
+    n = 128
+    moduli = tuple(primes.gen_ntt_primes(50, 1, n))
+    dplan = DistributedNttPlan(n, moduli)
+    a = np.stack([RNG.integers(0, q, n, dtype=np.uint64)
+                  for q in moduli])
+    am = a.reshape(1, dplan.n1, dplan.n2)
+    spec = P(None, None, "coeff")
+
+    def body(x):
+        return dplan.inv_local(dplan.fwd_local(x, "coeff"), "coeff")
+
+    fn = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(spec,),
+                               out_specs=spec))
+    sharding = NamedSharding(mesh, P(None, None, "coeff"))
+    got = np.asarray(fn(jax.device_put(am, sharding)))
+    np.testing.assert_array_equal(got, am)
+
+
+def test_batched_limb_sharded_bfv_multiply(mesh):
+    # ct batch over 'coeff'-renamed axis: reuse the 8 devices as a
+    # batch axis for whole-ciphertext data parallelism
+    import jax.random as jr
+
+    from sunscreen_tpu.bfv import BfvParams, get_context, keys, ops
+    params = BfvParams.insecure(poly_degree=256, limbs=2, limb_bits=30)
+    ctx = get_context(params)
+    key = jr.key(0)
+    sk = keys.gen_secret_key(ctx, jr.fold_in(key, 0))
+    pk = keys.gen_public_key(ctx, sk, jr.fold_in(key, 1))
+    rlk = keys.gen_relin_key(ctx, sk, jr.fold_in(key, 2))
+    batch = 8
+    pts = (np.arange(batch * ctx.n, dtype=np.uint64)
+           .reshape(batch, ctx.n) % ctx.t)
+    cts = jax.vmap(lambda p, k: ops.encrypt(ctx, pk, p, k))(
+        jnp.asarray(pts), jr.split(jr.fold_in(key, 3), batch))
+    sharding = NamedSharding(mesh, P("coeff", None, None, None))
+    cts_sh = jax.device_put(cts, sharding)
+
+    @jax.jit
+    def step(c):
+        return ops.multiply_relin(ctx, c, c, rlk)
+
+    out = np.asarray(step(cts_sh))
+    plan_t = ntt.get_plan(ctx.n, (ctx.t,))
+    expect = np.asarray(plan_t.negacyclic_mul(
+        jnp.asarray(pts)[:, None, :], jnp.asarray(pts)[:, None, :]))[:, 0]
+    got = np.stack([np.asarray(ops.decrypt(ctx, sk, out[i]))
+                    for i in range(batch)])
+    np.testing.assert_array_equal(got, expect)

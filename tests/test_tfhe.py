@@ -1,0 +1,161 @@
+"""TFHE: encryption, external products, CMUX, blind rotation,
+keyswitching, programmable bootstrap (reference test surface:
+`sunscreen_tfhe/src/ops/*` in-module tests with TEST_* params)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sunscreen_tpu.tfhe import (GlweDef, LweDef, RadixDecomposition,
+                                TEST_GLWE_DEF_1, TEST_RADIX)
+from sunscreen_tpu.tfhe import ops, torus
+from sunscreen_tpu.tfhe.poly import get_torus_plan
+
+KEY = jax.random.key(7)
+LWE_SMALL = LweDef(dim=64, std=1e-16)  # fast-test LWE
+RNG = np.random.default_rng(5)
+
+
+def test_torus_encode_decode():
+    msgs = jnp.arange(8, dtype=jnp.uint64)
+    enc = torus.encode(msgs, 3)
+    np.testing.assert_array_equal(np.asarray(torus.decode(enc, 3)), msgs)
+
+
+def test_signed_decompose_recompose():
+    vals = jnp.asarray(RNG.integers(0, 1 << 63, 64, dtype=np.uint64))
+    digits = torus.signed_decompose(vals, 8, 6)
+    assert int(jnp.max(jnp.abs(digits.astype(jnp.int64)))) <= 128
+    rec = torus.recompose(digits, 8)
+    # recomposition matches up to the dropped low bits (rounding)
+    err = (np.asarray(rec).astype(np.int64)
+           - np.asarray(vals).astype(np.int64))
+    assert np.abs(err).max() <= 1 << (64 - 6 * 8 - 1)
+
+
+def test_exact_negacyclic_torus_mul():
+    n = 64
+    plan = get_torus_plan(n)
+    digits = RNG.integers(-128, 128, n)
+    tor = RNG.integers(0, 1 << 64, n, dtype=np.uint64)
+    got = np.asarray(plan.negacyclic_mul_signed_torus(
+        jnp.asarray(digits), jnp.asarray(tor)))
+    # python-int negacyclic oracle mod 2^64
+    expect = np.zeros(n, dtype=np.uint64)
+    acc = [0] * n
+    for i, d in enumerate(digits.tolist()):
+        for j, t in enumerate(tor.tolist()):
+            k = i + j
+            if k < n:
+                acc[k] += d * t
+            else:
+                acc[k - n] -= d * t
+    for i in range(n):
+        expect[i] = acc[i] % (1 << 64)
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_lwe_roundtrip():
+    sk = ops.generate_binary_lwe_sk(LWE_SMALL, jax.random.fold_in(KEY, 0))
+    msg = torus.encode(jnp.uint64(5), 3)
+    ct = ops.encrypt_lwe(msg, sk, LWE_SMALL, jax.random.fold_in(KEY, 1))
+    assert int(ops.decrypt_lwe(ct, sk, 3)) == 5
+    # homomorphic add
+    ct2 = ops.encrypt_lwe(torus.encode(jnp.uint64(2), 3), sk, LWE_SMALL,
+                          jax.random.fold_in(KEY, 2))
+    assert int(ops.decrypt_lwe(ops.lwe_add(ct, ct2), sk, 3)) == 7
+
+
+def test_glwe_roundtrip():
+    glwe = TEST_GLWE_DEF_1
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 3))
+    msgs = jnp.asarray(
+        RNG.integers(0, 8, glwe.poly_degree, dtype=np.uint64))
+    ct = ops.encrypt_glwe(torus.encode(msgs, 3), sk, glwe,
+                          jax.random.fold_in(KEY, 4))
+    np.testing.assert_array_equal(
+        np.asarray(ops.decrypt_glwe(ct, sk, glwe, 3)), np.asarray(msgs))
+
+
+def test_external_product_and_cmux():
+    glwe = TEST_GLWE_DEF_1
+    radix = TEST_RADIX
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 5))
+    msgs = jnp.asarray(
+        RNG.integers(0, 4, glwe.poly_degree, dtype=np.uint64))
+    ct = ops.encrypt_glwe(torus.encode(msgs, 2), sk, glwe,
+                          jax.random.fold_in(KEY, 6))
+    for bit in (0, 1):
+        ggsw = ops.encrypt_ggsw(bit, sk, glwe, radix,
+                                jax.random.fold_in(KEY, 7 + bit))
+        prod = ops.external_product(ggsw, ct, glwe, radix)
+        got = np.asarray(ops.decrypt_glwe(prod, sk, glwe, 2))
+        expect = np.asarray(msgs) * bit % 4
+        np.testing.assert_array_equal(got, expect)
+    # CMUX selects
+    m0 = jnp.zeros(glwe.poly_degree, dtype=jnp.uint64)
+    c0 = ops.encrypt_glwe(torus.encode(m0, 2), sk, glwe,
+                          jax.random.fold_in(KEY, 9))
+    sel1 = ops.encrypt_ggsw(1, sk, glwe, radix,
+                            jax.random.fold_in(KEY, 10))
+    chosen = ops.cmux(sel1, c0, ct, glwe, radix)
+    np.testing.assert_array_equal(
+        np.asarray(ops.decrypt_glwe(chosen, sk, glwe, 2)),
+        np.asarray(msgs))
+
+
+def test_sample_extract():
+    glwe = TEST_GLWE_DEF_1
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 11))
+    msgs = jnp.asarray(
+        RNG.integers(0, 8, glwe.poly_degree, dtype=np.uint64))
+    ct = ops.encrypt_glwe(torus.encode(msgs, 3), sk, glwe,
+                          jax.random.fold_in(KEY, 12))
+    lwe_ct = ops.sample_extract(ct, glwe)
+    flat_sk = ops.flatten_glwe_sk(sk)
+    got = int(ops.decrypt_lwe(lwe_ct, flat_sk, 3))
+    assert got == int(msgs[0])
+
+
+def test_keyswitch():
+    glwe = TEST_GLWE_DEF_1
+    from_sk = ops.flatten_glwe_sk(
+        ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 13)))
+    from_params = glwe.as_lwe
+    to_sk = ops.generate_binary_lwe_sk(LWE_SMALL,
+                                       jax.random.fold_in(KEY, 14))
+    radix = RadixDecomposition(count=8, radix_log=6)
+    ksk = ops.generate_keyswitch_key(from_sk, to_sk, LWE_SMALL, radix,
+                                     jax.random.fold_in(KEY, 15))
+    msg = torus.encode(jnp.uint64(3), 2)
+    ct = ops.encrypt_lwe(msg, from_sk, from_params,
+                         jax.random.fold_in(KEY, 16))
+    switched = ops.keyswitch_lwe_to_lwe(ct, ksk, LWE_SMALL, radix)
+    assert int(ops.decrypt_lwe(switched, to_sk, 2)) == 3
+
+
+def test_programmable_bootstrap():
+    # full PBS: f(x) = x + 1 mod message space, 2-bit space w/ padding
+    glwe = TEST_GLWE_DEF_1
+    lwe = LWE_SMALL
+    pbs_radix = TEST_RADIX
+    ks_radix = RadixDecomposition(count=8, radix_log=6)
+    lwe_sk = ops.generate_binary_lwe_sk(lwe, jax.random.fold_in(KEY, 20))
+    glwe_sk = ops.generate_binary_glwe_sk(glwe,
+                                          jax.random.fold_in(KEY, 21))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, lwe, glwe,
+                                     pbs_radix,
+                                     jax.random.fold_in(KEY, 22))
+    ksk = ops.generate_keyswitch_key(
+        ops.flatten_glwe_sk(glwe_sk), lwe_sk, lwe, ks_radix,
+        jax.random.fold_in(KEY, 23))
+    bits = 2  # messages in {0, 1} (top bit is padding)
+    test_poly = ops.test_polynomial_for(lambda m: (m + 1) % 2, bits, glwe)
+    for msg in (0, 1):
+        ct = ops.encrypt_lwe(torus.encode(jnp.uint64(msg), bits), lwe_sk,
+                             lwe, jax.random.fold_in(KEY, 24 + msg))
+        out = ops.programmable_bootstrap_univariate(
+            ct, test_poly, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+        got = int(ops.decrypt_lwe(out, lwe_sk, bits))
+        assert got == (msg + 1) % 2, (msg, got)
