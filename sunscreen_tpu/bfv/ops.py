@@ -78,6 +78,46 @@ def encrypt(ctx: BfvContext, pk: PublicKey, pt, key):
     return jnp.stack([c0, c1], axis=-3)
 
 
+def encrypt_return_components(ctx: BfvContext, pk: PublicKey, pt, key):
+    """Like `encrypt` but also returns the randomness (u, e0, e1) as
+    small signed int64 polys — needed to build SDLP encryption
+    statements (SEAL: `Encryptor::encrypt_return_components`,
+    `encryptor_decryptor.rs:82-123`)."""
+    k_u, k_e1, k_e2 = jax.random.split(key, 3)
+    q = _q(ctx)
+    u_small = sampling.ternary(k_u, (ctx.n,))
+    e0_small = sampling.cbd(k_e1, (ctx.n,))
+    e1_small = sampling.cbd(k_e2, (ctx.n,))
+    u = ctx.plan_q.fwd(sampling.signed_to_rns(u_small, ctx.q_base.q_dev))
+    c0 = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(pk.p0, u))
+    c1 = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(pk.p1, u))
+    e0 = sampling.signed_to_rns(e0_small, ctx.q_base.q_dev)
+    e1 = sampling.signed_to_rns(e1_small, ctx.q_base.q_dev)
+    c0 = m.add_mod(m.add_mod(c0, e0, q), scale_plain(ctx, pt), q)
+    c1 = m.add_mod(c1, e1, q)
+    ct = jnp.stack([c0, c1], axis=-3)
+    return ct, (u_small.astype(jnp.int64), e0_small.astype(jnp.int64),
+                e1_small.astype(jnp.int64))
+
+
+def encrypt_symmetric_return_components(ctx: BfvContext, sk: SecretKey,
+                                        pt, key):
+    """Symmetric variant: returns (ct, e) with c0 = Δm + r - c1*s - e
+    ... i.e. c0 = -(a*s + e) + Δm, c1 = a."""
+    k_a, k_e = jax.random.split(key)
+    q = _q(ctx)
+    a = sampling.uniform_mod_q(k_a, (ctx.n,), ctx.q_base.q_dev,
+                               ctx.q_base.ratio_hi_dev,
+                               ctx.q_base.ratio_lo_dev)
+    e_small = sampling.cbd(k_e, (ctx.n,))
+    e = sampling.signed_to_rns(e_small, ctx.q_base.q_dev)
+    as_ = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(ctx.plan_q.fwd(a),
+                                                  sk.s_ntt_q))
+    c0 = m.add_mod(m.neg_mod(m.add_mod(as_, e, q), q),
+                   scale_plain(ctx, pt), q)
+    return jnp.stack([c0, a], axis=-3), e_small.astype(jnp.int64)
+
+
 def encrypt_symmetric(ctx: BfvContext, sk: SecretKey, pt, key):
     """c = (-(a*s + e) + Δm, a). SEAL: `Encryptor::encrypt_symmetric`."""
     k_a, k_e = jax.random.split(key)

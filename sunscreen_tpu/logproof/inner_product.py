@@ -112,8 +112,8 @@ def create(transcript: Transcript, v_1, v_2, rho: int, t_commit: cv.Point,
         transcript.append_point(b"t1", t_p1)
         c = transcript.challenge_scalar(b"c")
         c_inv = cv.scalar_inv(c)
-        g = [gt[i] + gb[i] * c for i in range(n2)]
-        h = [ht[i] + hb[i] * c_inv for i in range(n2)]
+        g = cv.fold_points(gt, gb, c)
+        h = cv.fold_points(ht, hb, c_inv)
         t = t_m1 * c_inv + t + t_p1 * c
         v_1 = [(v1t[i] + v1b[i] * c_inv) % L for i in range(n2)]
         v_2 = [(v2t[i] + v2b[i] * c) % L for i in range(n2)]
@@ -166,7 +166,7 @@ def verify(proof: InnerProductProof, transcript: Transcript,
                 acc = acc * cs[lg - 1 - j] % L
         s.append(acc)
     g_fold = cv.msm(s, g)
-    h_fold = cv.msm([cv.scalar_inv(si) for si in s], h)
+    h_fold = cv.msm(cv.batch_scalar_inv(s), h)
 
     transcript.append_point(b"w", proof.w)
     transcript.append_point(b"w'", proof.w_prime)

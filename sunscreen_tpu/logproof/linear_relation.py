@@ -343,7 +343,7 @@ def _compute_t(w, g_prime, h, phi, psi, v) -> cv.Point:
 
 
 def _compute_g_prime(g, phi):
-    return [g[i] * cv.scalar_inv(phi[i]) for i in range(len(g))]
+    return cv.batch_mul(cv.batch_scalar_inv(phi), g)
 
 
 # -- create / verify ----------------------------------------------------------

@@ -1,0 +1,307 @@
+"""Linked proofs: one SDLP + one Bulletproofs R1CS proof constraining
+THE SAME message.
+
+Replaces `sunscreen_runtime/src/linked.rs` (`Sdlp`, `LinkedProof`) and
+the `LogProofBuilder` fluent API (`src/builder.rs:397-900`:
+`encrypt_returning_link`, zkp_program linking, build). The reference
+links by sharing Pedersen generators between the SDLP commitment and a
+forked bulletproofs; here the link is an explicit generalized-Schnorr
+bridge proving that the bits committed in the SDLP's `w_shared` (with
+generators h_shared) recompose — under public 2's-complement weights —
+to the values inside the Bulletproofs' per-witness Pedersen commitments
+V_j. Equivalent guarantee (same message proven valid-encrypted and
+constrained by the R1CS), different mechanism; documented delta from
+the reference.
+
+Round-1 limitation: linked messages must have non-negative digit
+encodings (Unsigned64 or non-negative Signed); the digit-remap gadget
+for negative digits lands with the BfvSigned ZKP type.
+"""
+
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sunscreen_tpu.logproof import bfv_statement as bstmt
+from sunscreen_tpu.logproof import inner_product as lp_ipp
+from sunscreen_tpu.logproof import linear_relation as lr
+from sunscreen_tpu.logproof.lattice import twos_complement_coeffs
+from sunscreen_tpu.zk import curve25519 as cv
+from sunscreen_tpu.zk.backend import BulletproofsBackend, \
+    BulletproofsProof
+from sunscreen_tpu.zk.merlin import Transcript
+from sunscreen_tpu.zk.pedersen import cached_pedersen
+
+L = cv.L
+SDLP_TRANSCRIPT_LABEL = b"sunscreen_tpu sdlp"
+
+
+@dataclass
+class LinkedMessage:
+    """Handle to a message shared between the SDLP and a zkp program
+    (reference: `LinkedMessage`, builder.rs:278-293)."""
+
+    message_id: int
+    value: int            # field value fed to the zkp program
+    weights: list[int]    # bit weights mod L over the message's s_1 bits
+
+
+@dataclass
+class Sdlp:
+    """A standalone SDLP over BFV statements (reference: `Sdlp`
+    struct)."""
+
+    proof: lr.LogProof
+    vk: lr.VerifierKnowledge
+
+    def verify(self) -> bool:
+        gens = _cached_generators(self.vk.l)
+        return lr.verify(self.proof, Transcript(SDLP_TRANSCRIPT_LABEL),
+                         self.vk, gens.g, gens.h, lp_ipp.get_u())
+
+
+@dataclass
+class SchnorrBridge:
+    """Generalized Schnorr PoK binding w_shared's bits to the BP
+    commitments."""
+
+    a_h: cv.Point           # commitment over (h_shared, u)
+    a_v: list[cv.Point]     # commitments over (B, B_blinding) per V_j
+    z_bits: list[int]
+    z_rho_h: int
+    z_rho_v: list[int]
+
+
+@dataclass
+class LinkedProof:
+    """SDLP + R1CS + bridge (reference: `LinkedProof`,
+    linked.rs:32-52)."""
+
+    sdlp: lr.LogProof
+    vk: lr.VerifierKnowledge
+    shared_slices: list[tuple[int, int]]   # bit ranges per linked message
+    weights: list[list[int]]
+    bp_proof: BulletproofsProof
+    bridge: SchnorrBridge
+
+    def verify(self, zkp_program, public_inputs=(),
+               constant_inputs=()) -> bool:
+        gens = _cached_generators(self.vk.l)
+        u = lp_ipp.get_u()
+        # 1. the SDLP
+        if not lr.verify(self.sdlp, Transcript(SDLP_TRANSCRIPT_LABEL),
+                         self.vk, gens.g, gens.h, u):
+            return False
+        # 2. the R1CS proof
+        backend = BulletproofsBackend()
+        prog = zkp_program.build()
+        if not backend.verify(prog, self.bp_proof, public_inputs,
+                              constant_inputs):
+            return False
+        # 3. the bridge
+        n_linked = len(self.shared_slices)
+        if len(self.bp_proof.commitments) < n_linked:
+            return False
+        vs = self.bp_proof.commitments[:n_linked]
+        return _verify_bridge(self.bridge, self.sdlp.w_shared, vs,
+                              self.shared_slices, self.weights, gens, u)
+
+
+_GEN_CACHE: dict[int, lr.LogProofGenerators] = {}
+
+
+def _cached_generators(l: int) -> lr.LogProofGenerators:
+    if l not in _GEN_CACHE:
+        _GEN_CACHE[l] = lr.LogProofGenerators(l)
+    return _GEN_CACHE[l]
+
+
+# -- the Schnorr bridge ------------------------------------------------------
+
+def _bridge_transcript(w_shared, vs, a_h, a_v) -> int:
+    t = Transcript(b"sunscreen_tpu linked bridge")
+    t.append_point(b"w_shared", w_shared)
+    for v in vs:
+        t.append_point(b"V", v)
+    t.append_point(b"A_h", a_h)
+    for a in a_v:
+        t.append_point(b"A_v", a)
+    return t.challenge_scalar(b"c")
+
+
+def _prove_bridge(bits, rho_h, rho_vs, w_shared, vs, slices, weights,
+                  gens, u) -> SchnorrBridge:
+    pc = cached_pedersen()
+    n_bits = len(bits)
+    y_bits = [secrets.randbelow(L) for _ in range(n_bits)]
+    y_rho_h = secrets.randbelow(L)
+    y_rho_v = [secrets.randbelow(L) for _ in vs]
+    h_shared = _h_shared(gens, slices)
+    a_h = cv.msm(y_bits + [y_rho_h], h_shared + [u])
+    a_v = []
+    for j, (lo, hi) in enumerate(slices):
+        wsum = sum(w * y for w, y in zip(
+            weights[j], y_bits[_offset(slices, j):
+                               _offset(slices, j) + hi - lo])) % L
+        a_v.append(pc.B * wsum + pc.B_blinding * y_rho_v[j])
+    c = _bridge_transcript(w_shared, vs, a_h, a_v)
+    z_bits = [(y + c * b) % L for y, b in zip(y_bits, bits)]
+    z_rho_h = (y_rho_h + c * rho_h) % L
+    z_rho_v = [(y + c * r) % L for y, r in zip(y_rho_v, rho_vs)]
+    return SchnorrBridge(a_h, a_v, z_bits, z_rho_h, z_rho_v)
+
+
+def _offset(slices, j) -> int:
+    return sum(hi - lo for lo, hi in slices[:j])
+
+
+def _h_shared(gens, slices):
+    out = []
+    for lo, hi in slices:
+        out.extend(gens.h[lo:hi])
+    return out
+
+
+def _verify_bridge(br: SchnorrBridge, w_shared, vs, slices, weights,
+                   gens, u) -> bool:
+    pc = cached_pedersen()
+    h_shared = _h_shared(gens, slices)
+    if len(br.z_bits) != len(h_shared) or len(br.z_rho_v) != len(vs):
+        return False
+    c = _bridge_transcript(w_shared, vs, br.a_h, br.a_v)
+    lhs = cv.msm(br.z_bits + [br.z_rho_h], h_shared + [u])
+    if lhs != br.a_h + w_shared * c:
+        return False
+    for j, (lo, hi) in enumerate(slices):
+        off = _offset(slices, j)
+        wsum = sum(w * z for w, z in zip(
+            weights[j], br.z_bits[off:off + hi - lo])) % L
+        lhs_v = pc.B * wsum + pc.B_blinding * br.z_rho_v[j]
+        if lhs_v != br.a_v[j] + vs[j] * c:
+            return False
+    return True
+
+
+# -- builder -----------------------------------------------------------------
+
+class LogProofBuilder:
+    """Fluent builder (reference: `LogProofBuilder` /
+    `LinkedProofBuilder`): encrypt messages while capturing SDLP
+    statements, optionally returning links, then build an `Sdlp` or a
+    `LinkedProof`."""
+
+    def __init__(self, runtime):
+        self.rt = runtime
+        self.ctx = runtime.ctx
+        self.statements = bstmt.BfvStatements(self.ctx)
+        self._links: list[LinkedMessage] = []
+        self._msg_bound_bits: dict[int, int] = {}
+
+    # -- encryption capture --------------------------------------------------
+
+    def encrypt(self, value, public_key, seed: int | None = None):
+        """Encrypt + record a (non-linked) proof statement."""
+        ct, _ = self._encrypt_internal(value, public_key, seed)
+        return ct
+
+    def encrypt_returning_link(self, value, public_key,
+                               seed: int | None = None):
+        """Encrypt + record a statement + return a LinkedMessage for use
+        as a zkp program's first private inputs (reference:
+        `encrypt_returning_link`, builder.rs:808)."""
+        return self._encrypt_internal(value, public_key, seed,
+                                      link=True)
+
+    def _encrypt_internal(self, value, public_key, seed, link=False):
+        import jax
+
+        from sunscreen_tpu.bfv import ops as bops
+        from sunscreen_tpu.runtime.runtime import Ciphertext
+        tcls = type(value)
+        polys = tcls.encode(value.value, self.ctx.params)
+        if polys.ndim == 1:
+            polys = polys[None, :]
+        assert polys.shape[0] == 1, \
+            "linked encryption supports single-ciphertext types"
+        pt = polys[0]
+        if link:
+            assert np.all(pt <= 1), (
+                "round-1 linked messages need non-negative binary digit "
+                "encodings (Unsigned64 / non-negative Signed)")
+        key = jax.random.key(np.random.randint(0, 2**31)
+                             if seed is None else seed)
+        ct, (u, e0, e1) = bops.encrypt_return_components(
+            self.ctx, public_key.public_key, pt, key)
+        mid = self.statements.add_message(pt)
+        self._msg_bound_bits[mid] = 1
+        self.statements.add_public_encryption(
+            mid, np.asarray(ct), public_key.public_key,
+            np.asarray(u), np.asarray(e0), np.asarray(e1))
+        wrapped = Ciphertext(tcls._type_name(), [ct], self.ctx.params)
+        if not link:
+            return wrapped, None
+        # field value: poly evaluated at 2 (digits non-negative)
+        val = sum(int(c) << i for i, c in enumerate(pt)) % L
+        # weights: per coefficient j, 2's complement weights scaled 2^j
+        tc = twos_complement_coeffs(2)  # 1-bit bound -> 2 bits signed
+        weights = []
+        for j in range(self.ctx.n):
+            for w in tc:
+                weights.append((1 << j) * w % L)
+        msg = LinkedMessage(mid, val, weights)
+        self._links.append(msg)
+        return wrapped, msg
+
+    # -- builds --------------------------------------------------------------
+
+    def _prover_knowledge(self):
+        return self.statements.build(message_bound_bits=1)
+
+    def build_sdlp(self) -> Sdlp:
+        vk, pk_know = self._prover_knowledge()
+        gens = _cached_generators(vk.l)
+        proof = lr.create(Transcript(SDLP_TRANSCRIPT_LABEL), pk_know,
+                          gens.g, gens.h, lp_ipp.get_u())
+        return Sdlp(proof, vk)
+
+    def build_linked(self, zkp_program, extra_private_inputs=(),
+                     public_inputs=(), constant_inputs=()
+                     ) -> LinkedProof:
+        """SDLP with shared message bits + BP proof whose first private
+        inputs are the linked messages + bridge (reference:
+        `LinkedProofBuilder::build`, builder.rs:445)."""
+        vk, pk_know = self._prover_knowledge()
+        gens = _cached_generators(vk.l)
+        u = lp_ipp.get_u()
+        half_rho = secrets.randbelow(L)
+        shared_cols = [(m.message_id, 0) for m in self._links]
+        sdlp_proof = lr.create(
+            Transcript(SDLP_TRANSCRIPT_LABEL), pk_know, gens.g, gens.h,
+            u, half_rho=half_rho, shared_indices=shared_cols)
+        slices = [vk.b_slices()[m.message_id][0] for m in self._links]
+
+        # R1CS proof with the linked values first
+        backend = BulletproofsBackend()
+        prog = zkp_program.build()
+        private = [m.value for m in self._links] \
+            + [int(x) for x in extra_private_inputs]
+        bp_proof, blindings = backend.prove_with_blindings(
+            prog, private, [int(x) for x in public_inputs],
+            [int(x) for x in constant_inputs])
+
+        # bridge
+        s_1 = lr._binary_expand(vk, pk_know.s)
+        bits = []
+        for lo, hi in slices:
+            bits.extend(s_1[lo:hi])
+        weights = [m.weights[:hi - lo]
+                   for m, (lo, hi) in zip(self._links, slices)]
+        vs = bp_proof.commitments[:len(self._links)]
+        bridge = _prove_bridge(bits, half_rho, blindings,
+                               sdlp_proof.w_shared, vs, slices, weights,
+                               gens, u)
+        return LinkedProof(sdlp_proof, vk, slices, weights, bp_proof,
+                           bridge)

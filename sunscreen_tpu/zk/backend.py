@@ -215,6 +215,16 @@ class BulletproofsBackend:
 
     def prove(self, prog: ZkpProgram, private_inputs, public_inputs=(),
               constant_inputs=()) -> BulletproofsProof:
+        proof, _ = self.prove_with_blindings(
+            prog, private_inputs, public_inputs, constant_inputs)
+        return proof
+
+    def prove_with_blindings(self, prog: ZkpProgram, private_inputs,
+                             public_inputs=(), constant_inputs=()
+                             ) -> tuple[BulletproofsProof, list[int]]:
+        """Also returns the Pedersen blindings of the committed private
+        inputs (in commitment order) — needed by linked proofs to bind
+        these commitments to an SDLP's shared commitment."""
         f = self.FIELD_MODULUS
         vals = evaluate(prog, f, private_inputs, public_inputs,
                         constant_inputs)
@@ -228,7 +238,8 @@ class BulletproofsBackend:
                 commitments.append(V)
         self._gen_circuit(prog, prover, committed, public_inputs,
                           constant_inputs, vals)
-        return BulletproofsProof(prover.prove(), commitments)
+        return (BulletproofsProof(prover.prove(), commitments),
+                list(prover.v_blinding))
 
     def verify(self, prog: ZkpProgram, proof: BulletproofsProof,
                public_inputs=(), constant_inputs=()) -> bool:

@@ -224,12 +224,63 @@ def scalar_inv(s: int) -> int:
     return pow(s, -1, L)
 
 
-def msm(scalars, points) -> Point:
-    """Multi-scalar multiplication sum(s_i * P_i) — host reference.
-    (reference: `parallel_multiscalar_multiplication`, logproof/math.rs;
-    GPU Pippenger in sunscreen_math. TPU kernel: zk.msm, checked against
-    this.)"""
+def batch_scalar_inv(xs) -> list[int]:
+    """Montgomery batch inversion mod L (one modexp total)."""
+    xs = [int(x) % L for x in xs]
+    n = len(xs)
+    prefix = [1] * (n + 1)
+    for i, x in enumerate(xs):
+        prefix[i + 1] = prefix[i] * x % L
+    inv_all = pow(prefix[n], -1, L)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all % L
+        inv_all = inv_all * xs[i] % L
+    return out
+
+
+def msm_py(scalars, points) -> Point:
+    """Pure-python MSM — the bit-exactness oracle for the native path."""
     acc = IDENTITY
     for s, pt in zip(scalars, points):
         acc = acc + pt * int(s)
     return acc
+
+
+def msm(scalars, points) -> Point:
+    """Multi-scalar multiplication sum(s_i * P_i). Dispatches to the
+    native C++ Pippenger kernel when available (reference:
+    `parallel_multiscalar_multiplication`, logproof/math.rs; GPU
+    Pippenger in sunscreen_math/opencl_impl/multiexp.rs)."""
+    points = list(points)
+    scalars = list(scalars)
+    if len(points) >= 8:
+        from sunscreen_tpu.zk import native
+        result = native.msm(scalars, points)
+        if result is not None:
+            return result
+    return msm_py(scalars, points)
+
+
+def batch_mul(scalars, points) -> list[Point]:
+    """[s_i * P_i] element-wise (native-accelerated)."""
+    points = list(points)
+    scalars = list(scalars)
+    if len(points) >= 4:
+        from sunscreen_tpu.zk import native
+        result = native.batch_scalar_mul(scalars, points)
+        if result is not None:
+            return result
+    return [p * int(s) for s, p in zip(scalars, points)]
+
+
+def fold_points(points_a, points_b, scalar) -> list[Point]:
+    """[a_i + scalar * b_i] (IPP generator folding, native-accelerated)."""
+    points_a = list(points_a)
+    points_b = list(points_b)
+    if len(points_a) >= 4:
+        from sunscreen_tpu.zk import native
+        result = native.fold(points_a, points_b, scalar)
+        if result is not None:
+            return result
+    return [a + b * int(scalar) for a, b in zip(points_a, points_b)]

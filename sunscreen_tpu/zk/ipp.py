@@ -75,16 +75,25 @@ def create(transcript: Transcript, Q: c.Point, G_factors, H_factors,
         a = [(a_lo[i] * u + u_inv * a_hi[i]) % L_FIELD for i in range(n)]
         b = [(b_lo[i] * u_inv + u * b_hi[i]) % L_FIELD for i in range(n)]
         if first:
-            G = [c.msm([u_inv * gf[i] % L_FIELD,
-                        u * gf[n + i] % L_FIELD], [G_lo[i], G_hi[i]])
-                 for i in range(n)]
-            H = [c.msm([u * hf[i] % L_FIELD,
-                        u_inv * hf[n + i] % L_FIELD], [H_lo[i], H_hi[i]])
-                 for i in range(n)]
+            lo = c.batch_mul([u_inv * gf[i] % L_FIELD for i in range(n)],
+                             G_lo)
+            hi = c.batch_mul([u * gf[n + i] % L_FIELD for i in range(n)],
+                             G_hi)
+            G = [x + y for x, y in zip(lo, hi)]
+            lo = c.batch_mul([u * hf[i] % L_FIELD for i in range(n)],
+                             H_lo)
+            hi = c.batch_mul([u_inv * hf[n + i] % L_FIELD
+                              for i in range(n)], H_hi)
+            H = [x + y for x, y in zip(lo, hi)]
             first = False
         else:
-            G = [c.msm([u_inv, u], [G_lo[i], G_hi[i]]) for i in range(n)]
-            H = [c.msm([u, u_inv], [H_lo[i], H_hi[i]]) for i in range(n)]
+            # G_lo*u_inv + G_hi*u = u_inv*(G_lo + u^2*G_hi)
+            u_sq = u * u % L_FIELD
+            G = c.batch_mul([u_inv] * n,
+                            c.fold_points(G_lo, G_hi, u_sq))
+            H = c.batch_mul([u] * n,
+                            c.fold_points(H_lo, H_hi,
+                                          u_inv * u_inv % L_FIELD))
     if first:
         # n == 1 from the start: factors never folded
         G = [c.msm([gf[0]], [G[0]])]

@@ -1,0 +1,98 @@
+"""SDLP proofs over real BFV ciphertexts (reference:
+`logproof/src/bfv_statement.rs` + `logproof/tests/seal.rs` — prove and
+verify an SDLP over real ciphertexts, transcripts must agree)."""
+
+import jax
+import numpy as np
+import pytest
+
+from sunscreen_tpu.bfv import BfvParams, get_context, keys, ops
+from sunscreen_tpu.logproof import (LogProofGenerators, create, verify)
+from sunscreen_tpu.logproof import inner_product as ip
+from sunscreen_tpu.logproof.bfv_statement import BfvStatements
+from sunscreen_tpu.zk.merlin import Transcript
+
+PARAMS = BfvParams.insecure(poly_degree=64, limbs=1, limb_bits=28)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ctx = get_context(PARAMS)
+    key = jax.random.key(1)
+    sk = keys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+    pk = keys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+    return ctx, sk, pk, key
+
+
+def test_public_encryption_statement_roundtrip(setup):
+    ctx, sk, pk, key = setup
+    rng = np.random.default_rng(0)
+    pt = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    ct, (u, e0, e1) = ops.encrypt_return_components(
+        ctx, pk, pt, jax.random.fold_in(key, 2))
+    # the components must satisfy the linear relation: decrypt sanity
+    np.testing.assert_array_equal(
+        np.asarray(ops.decrypt(ctx, sk, ct)), pt)
+
+    st = BfvStatements(ctx)
+    mid = st.add_message(pt)
+    st.add_public_encryption(mid, np.asarray(ct), pk,
+                             np.asarray(u), np.asarray(e0),
+                             np.asarray(e1))
+    vk, pk_know = st.build()
+    gens = LogProofGenerators(vk.l)
+    u_gen = ip.get_u()
+    proof = create(Transcript(b"bfv-sdlp"), pk_know, gens.g, gens.h,
+                   u_gen)
+    assert verify(proof, Transcript(b"bfv-sdlp"), vk, gens.g, gens.h,
+                  u_gen)
+    # a different ciphertext must not verify against this proof
+    ct2, comps2 = ops.encrypt_return_components(
+        ctx, pk, pt, jax.random.fold_in(key, 3))
+    st2 = BfvStatements(ctx)
+    mid2 = st2.add_message(pt)
+    st2.add_public_encryption(mid2, np.asarray(ct2), pk, *comps2)
+    vk2, _ = st2.build()
+    assert not verify(proof, Transcript(b"bfv-sdlp"), vk2, gens.g,
+                      gens.h, u_gen)
+
+
+def test_private_encryption_statement(setup):
+    ctx, sk, pk, key = setup
+    rng = np.random.default_rng(1)
+    pt = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    ct, e = ops.encrypt_symmetric_return_components(
+        ctx, sk, pt, jax.random.fold_in(key, 4))
+    np.testing.assert_array_equal(
+        np.asarray(ops.decrypt(ctx, sk, ct)), pt)
+    st = BfvStatements(ctx)
+    mid = st.add_message(pt)
+    st.add_private_encryption(mid, np.asarray(ct), np.asarray(sk.s),
+                              np.asarray(e))
+    vk, pk_know = st.build()
+    gens = LogProofGenerators(vk.l)
+    u_gen = ip.get_u()
+    proof = create(Transcript(b"bfv-sdlp-sym"), pk_know, gens.g, gens.h,
+                   u_gen)
+    assert verify(proof, Transcript(b"bfv-sdlp-sym"), vk, gens.g,
+                  gens.h, u_gen)
+
+
+def test_two_statements_shared_message(setup):
+    # two encryptions of the same message — one shared message column
+    ctx, sk, pk, key = setup
+    rng = np.random.default_rng(2)
+    pt = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    st = BfvStatements(ctx)
+    mid = st.add_message(pt)
+    for i in (5, 6):
+        ct, comps = ops.encrypt_return_components(
+            ctx, pk, pt, jax.random.fold_in(key, i))
+        st.add_public_encryption(mid, np.asarray(ct), pk, *comps)
+    vk, pk_know = st.build()
+    gens = LogProofGenerators(vk.l)
+    u_gen = ip.get_u()
+    proof = create(Transcript(b"bfv-sdlp2"), pk_know, gens.g, gens.h,
+                   u_gen)
+    assert verify(proof, Transcript(b"bfv-sdlp2"), vk, gens.g, gens.h,
+                  u_gen)

@@ -1,0 +1,83 @@
+"""Linked proofs: SDLP + R1CS over the same message (reference:
+`sunscreen/tests/linked.rs`, `sunscreen_runtime/src/linked.rs`)."""
+
+import numpy as np
+import pytest
+
+from sunscreen_tpu.bfv import BfvParams
+from sunscreen_tpu.runtime import Runtime
+from sunscreen_tpu.runtime.linked import LogProofBuilder
+from sunscreen_tpu.types import Unsigned64
+from sunscreen_tpu.types.zkp_types import Field, Private, Public, \
+    zkp_program
+
+PARAMS = BfvParams.insecure(poly_degree=64, limbs=1, limb_bits=28)
+
+
+@zkp_program()
+def in_range(x: Private[Field]):
+    x.to_unsigned(8)
+
+
+@zkp_program()
+def equals_public(x: Private[Field], y: Public[Field]):
+    x.constrain_eq(y)
+
+
+@pytest.fixture(scope="module")
+def rt_keys():
+    rt = Runtime.new_fhe_zkp(PARAMS)
+    pub, priv = rt.generate_keys(seed=3, galois=False, relin=False)
+    return rt, pub, priv
+
+
+def test_sdlp_via_builder(rt_keys):
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    ct = builder.encrypt(Unsigned64(123), pub, seed=10)
+    sdlp = builder.build_sdlp()
+    assert sdlp.verify()
+    assert rt.decrypt(ct, priv) == 123
+
+
+def test_linked_proof_roundtrip(rt_keys):
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    ct, link = builder.encrypt_returning_link(Unsigned64(200), pub,
+                                              seed=11)
+    assert link.value == 200
+    proof = builder.build_linked(in_range)
+    assert proof.verify(in_range)
+    # the ciphertext really encrypts the linked value
+    assert rt.decrypt(ct, priv) == 200
+
+
+def test_linked_proof_public_equality(rt_keys):
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    _, link = builder.encrypt_returning_link(Unsigned64(77), pub,
+                                             seed=12)
+    proof = builder.build_linked(equals_public, public_inputs=[77])
+    assert proof.verify(equals_public, public_inputs=[77])
+    assert not proof.verify(equals_public, public_inputs=[78])
+
+
+def test_linked_proof_bad_witness_fails(rt_keys):
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Unsigned64(300), pub, seed=13)
+    with pytest.raises(ValueError):
+        builder.build_linked(in_range)  # 300 doesn't fit in 8 bits
+
+
+def test_bridge_tamper_rejected(rt_keys):
+    rt, pub, priv = rt_keys
+    b1 = LogProofBuilder(rt)
+    b1.encrypt_returning_link(Unsigned64(5), pub, seed=14)
+    p1 = b1.build_linked(in_range)
+    b2 = LogProofBuilder(rt)
+    b2.encrypt_returning_link(Unsigned64(6), pub, seed=15)
+    p2 = b2.build_linked(in_range)
+    # swap the bulletproof (commits a different value) -> bridge fails
+    p1.bp_proof = p2.bp_proof
+    assert not p1.verify(in_range)
