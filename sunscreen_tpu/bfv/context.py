@@ -100,8 +100,11 @@ class BfvContext:
 
     # -- Galois -------------------------------------------------------------
 
-    def galois_table(self, g: int):
-        """(src_index[int32 N], negate[bool N]) for a(x) -> a(x^g)."""
+    def galois_table_host(self, g: int):
+        """(src_index[int32 N], negate[bool N]) numpy tables for
+        a(x) -> a(x^g). Host-side cache — convert with jnp.asarray at
+        use sites (a cached jnp array created during one trace would
+        leak as a tracer into others under JAX's constant lifting)."""
         if g not in self._galois_tables:
             n = self.n
             assert g % 2 == 1 and 0 < g < 2 * n
@@ -114,8 +117,12 @@ class BfvContext:
                     idx[j], neg[j] = i, False
                 else:
                     idx[j], neg[j] = i - n, True
-            self._galois_tables[g] = (jnp.asarray(idx), jnp.asarray(neg))
+            self._galois_tables[g] = (idx, neg)
         return self._galois_tables[g]
+
+    def galois_table(self, g: int):
+        idx, neg = self.galois_table_host(g)
+        return jnp.asarray(idx), jnp.asarray(neg)
 
     def rotate_rows_element(self, steps: int) -> int:
         """Galois element for a cyclic row rotation by `steps` slots

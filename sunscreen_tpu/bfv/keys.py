@@ -112,15 +112,31 @@ def gen_relin_key(ctx: BfvContext, sk: SecretKey, key) -> KswKey:
 
 def gen_galois_keys(ctx: BfvContext, sk: SecretKey, key,
                     elements: tuple[int, ...]) -> GaloisKeys:
-    """Keys for a(x) -> a(x^g) keyswitching, one per Galois element."""
-    out = {}
-    for g in elements:
-        idx, neg = ctx.galois_table(g)
+    """Keys for a(x) -> a(x^g) keyswitching, one per Galois element.
+
+    vmapped over elements so the traced keygen graph contains ONE
+    keyswitch-key body regardless of how many rotation keys are made
+    (the reference generates each sequentially; compile-time relevant
+    here because keygen is one fused XLA computation)."""
+    import numpy as np
+    idx_stack = jnp.asarray(np.stack(
+        [ctx.galois_table_host(g)[0] for g in elements]))
+    neg_stack = jnp.asarray(np.stack(
+        [ctx.galois_table_host(g)[1] for g in elements]))
+
+    def one(idx, neg, k):
         s_perm = jnp.where(neg, -sk.s[idx], sk.s[idx])
         w = ctx.plan_key.fwd(
             sampling.signed_to_rns(s_perm, ctx.key_base.q_dev))
-        out[g] = gen_ksw_key(ctx, sk, w, jax.random.fold_in(key, g))
-    return GaloisKeys(out)
+        return gen_ksw_key(ctx, sk, w, k)
+
+    stacked = jax.vmap(one)(
+        idx_stack, neg_stack,
+        jax.vmap(lambda g: jax.random.fold_in(key, g))(
+            jnp.asarray(elements)))
+    return GaloisKeys({
+        g: KswKey(stacked.k0[i], stacked.k1[i])
+        for i, g in enumerate(elements)})
 
 
 def default_rotation_elements(ctx: BfvContext) -> tuple[int, ...]:

@@ -166,6 +166,23 @@ class FheProgram:
         out.outputs = [remap[o] for o in self.outputs]
         return out
 
+    # -- visualization (reference: Render trait / DotViz,
+    #    sunscreen_compiler_common/src/lib.rs:36-41) -------------------------
+
+    def to_dot(self) -> str:
+        lines = ["digraph fhe_program {"]
+        for i, n in enumerate(self.nodes):
+            label = n.op.value
+            if n.data is not None:
+                label += f"({n.data})"
+            shape = "box" if n.op in INPUTS or n.op == Op.LITERAL \
+                else "ellipse"
+            lines.append(f'  n{i} [label="{label}", shape={shape}];')
+            for j, o in enumerate(n.operands):
+                lines.append(f"  n{o} -> n{i} [label={j}];")
+        lines.append("}")
+        return "\n".join(lines)
+
     # -- serialization (reference: serde on CompilationResult) ---------------
 
     def to_json(self) -> str:

@@ -28,8 +28,34 @@ def insert_relinearizations(prog: FheProgram) -> FheProgram:
     return out
 
 
+def common_subexpression_elimination(prog: FheProgram) -> FheProgram:
+    """Merge structurally identical nodes (commutative ops normalize
+    operand order). Reference parity:
+    `sunscreen_compiler_common/src/transforms/common_subexpression_
+    elimination.rs` (defined but unwired there; wired here — though XLA
+    would also CSE the lowered computation)."""
+    from sunscreen_tpu.compiler.ir import COMMUTATIVE
+    out = FheProgram()
+    remap: dict[int, int] = {}
+    seen: dict[tuple, int] = {}
+    for i, n in enumerate(prog.nodes):
+        ops_ = tuple(remap[o] for o in n.operands)
+        if n.op in COMMUTATIVE:
+            ops_ = tuple(sorted(ops_))
+        key = (n.op, ops_, n.data)
+        if n.op not in (Op.OUTPUT_CIPHERTEXT,) and key in seen:
+            remap[i] = seen[key]
+            continue
+        idx = out.add(n.op, ops_, n.data)
+        seen[key] = idx
+        remap[i] = idx
+    out.outputs = [remap[o] for o in prog.outputs]
+    return out
+
+
 def compile_program(prog: FheProgram) -> FheProgram:
     """Full backend pipeline: transforms + validation."""
+    prog = common_subexpression_elimination(prog)
     prog = insert_relinearizations(prog)
     prog = prog.prune()
     prog.validate()

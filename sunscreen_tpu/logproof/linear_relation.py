@@ -208,11 +208,14 @@ def _create_challenges(vk: VerifierKnowledge, t: Transcript):
 # -- serialization of the witness --------------------------------------------
 
 def _serialize_signed(mat, d: int, q: int) -> list[int]:
-    """Row-major signed coefficient dump, padded to width d."""
+    """Row-major signed coefficient dump, padded/trimmed to width d
+    (coefficients beyond d must be zero)."""
     out = []
     for row in mat:
         for p in row:
-            assert len(p) <= d
+            assert all(c % q == 0 for c in p[d:]), \
+                "polynomial exceeds expected degree"
+            p = p[:d]
             coeffs = [signed_lift(c, q) for c in p] + [0] * (d - len(p))
             out.extend(coeffs)
     return out
@@ -252,6 +255,8 @@ def _binary_expand(vk: VerifierKnowledge, s) -> list[int]:
     r1_ser = []
     for row in r_1:
         for p in row:
+            assert all(c == 0 for c in p[2 * d - 1:]), "r_1 too long"
+            p = p[:2 * d - 1]
             r1_ser.extend(list(p) + [0] * (2 * d - 1 - len(p)))
     r2_ser = _serialize_signed(r_2, d - 1, q)
 

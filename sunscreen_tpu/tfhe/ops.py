@@ -62,6 +62,20 @@ def encrypt_lwe(msg_torus, sk, params: LweDef, key):
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
+def encrypt_lwe_return_components(msg_torus, sk, params: LweDef, key):
+    """Like `encrypt_lwe` but also returns the noise e (signed int64) —
+    needed for SDLP encryption statements (reference:
+    `encrypt_lwe_secret_and_return_randomness`)."""
+    k_a, k_e = jax.random.split(key)
+    msg = jnp.asarray(msg_torus, dtype=U64)
+    a = jax.random.bits(k_a, msg.shape + (params.dim,), dtype=jnp.uint64)
+    e_signed = jnp.round(
+        jax.random.normal(k_e, msg.shape)
+        * (params.std * 2.0**TORUS_BITS)).astype(I64)
+    b = jnp.sum(a * sk, axis=-1) + msg + e_signed.astype(U64)
+    return jnp.concatenate([a, b[..., None]], axis=-1), e_signed
+
+
 def trivial_lwe(msg_torus, params: LweDef):
     msg = jnp.asarray(msg_torus, dtype=U64)
     a = jnp.zeros(msg.shape + (params.dim,), dtype=U64)
@@ -137,18 +151,70 @@ def decrypt_glwe(ct, sk, params: GlweDef, plaintext_bits: int):
                         plaintext_bits)
 
 
+def generate_rlwe_public_key(sk, params: GlweDef, key):
+    """RLWE public key = GLWE encryption of 0 (reference:
+    `generate_rlwe_public_key`, high_level.rs:321)."""
+    return encrypt_glwe(jnp.zeros(params.poly_degree, dtype=U64), sk,
+                        params, key)
+
+
+def encrypt_glwe_public(msg_poly, pk, params: GlweDef, key):
+    """Public-key GLWE encryption: c = u*pk + (e_1..e_k, e_b + m) with
+    ternary u."""
+    from sunscreen_tpu.math import sampling
+    plan = get_torus_plan(params.poly_degree)
+    k_u, k_e = jax.random.split(key)
+    n = params.poly_degree
+    u = sampling.ternary(k_u, (n,)).astype(jnp.int64)
+    u_hat = plan.fwd(plan.signed_to_rns(u))
+    comps = []
+    for i in range(params.size + 1):
+        prod = plan.to_torus(plan.plan.inv(plan.pointwise(
+            u_hat, plan.fwd(plan.torus_to_rns(pk[i])))))
+        e = _noise(jax.random.fold_in(k_e, i), (n,), params.std)
+        comps.append(prod + e)
+    comps[-1] = comps[-1] + jnp.asarray(msg_poly, dtype=U64)
+    return jnp.stack(comps)
+
+
 # --------------------------------------------------------------------------
 # GGSW + external product
 # --------------------------------------------------------------------------
 
-def encrypt_ggsw(msg_int, sk, params: GlweDef,
+def encrypt_glev(msg_poly, sk, params: GlweDef,
                  radix: RadixDecomposition, key):
-    """msg_int: small integer (scalar). Returns
+    """GLEV: [l, k+1, N] — level j encrypts msg * B_j (reference:
+    entities/glev_ciphertext)."""
+    msg = jnp.asarray(msg_poly, dtype=U64)
+    lvl = []
+    for j in range(radix.count):
+        bj = U64(1) << jnp.uint64(TORUS_BITS - (j + 1) * radix.radix_log)
+        lvl.append(encrypt_glwe(msg * bj, sk, params,
+                                jax.random.fold_in(key, j)))
+    return jnp.stack(lvl)
+
+
+def decrypt_glev(glev, sk, params: GlweDef, radix: RadixDecomposition):
+    """Recover the level-0 message (scaled by B_1 = 2^(64-radix_log))."""
+    t0 = decrypt_glwe_torus(glev[0], sk, params)
+    shift = jnp.uint64(TORUS_BITS - radix.radix_log)
+    half = U64(1) << (shift - jnp.uint64(1))
+    return ((t0 + half) >> shift) & jnp.uint64(
+        (1 << radix.radix_log) - 1)
+
+
+def encrypt_ggsw(msg, sk, params: GlweDef,
+                 radix: RadixDecomposition, key):
+    """msg: small integer scalar OR integer polynomial [N]. Returns
     [k+1, l, k+1, N] — rows (i, j) = GLWE(0) + msg * B_j * u_i."""
     n = params.poly_degree
     kk = params.size
+    msg_poly = jnp.zeros(n, dtype=U64)
+    if jnp.ndim(msg) == 0:
+        msg_poly = msg_poly.at[0].set(jnp.asarray(msg, dtype=U64))
+    else:
+        msg_poly = jnp.asarray(msg, dtype=U64)
     rows = []
-    msg = int(msg_int)
     for i in range(kk + 1):
         lvl = []
         for j in range(radix.count):
@@ -157,7 +223,7 @@ def encrypt_ggsw(msg_int, sk, params: GlweDef,
             bj = U64(1) << jnp.uint64(
                 TORUS_BITS - (j + 1) * radix.radix_log)
             unit = jnp.zeros((kk + 1, n), dtype=U64)
-            unit = unit.at[i, 0].set(U64(msg % (1 << 64)) * bj)
+            unit = unit.at[i].set(msg_poly * bj)
             lvl.append(z + unit)
         rows.append(jnp.stack(lvl))
     return jnp.stack(rows)
@@ -319,3 +385,181 @@ def programmable_bootstrap_univariate(
     rotated = blind_rotate(test_poly, lwe_ct, bsk, glwe, pbs_radix)
     extracted = sample_extract(rotated, glwe)
     return keyswitch_lwe_to_lwe(extracted, ksk, lwe, ks_radix)
+
+
+def test_polynomial_torus(fn_torus, plaintext_bits: int, glwe: GlweDef):
+    """Like `test_polynomial_for` but fn returns raw torus values
+    (needed by circuit bootstrapping to emit m * B_j)."""
+    import numpy as np
+    n = glwe.poly_degree
+    space = 1 << plaintext_bits
+    block = n // (space // 2) if space > 1 else n
+    v = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        msg = (i // block) % space if space > 1 else 0
+        v[i] = np.uint64(int(fn_torus(msg)) % (1 << 64))
+    half = block // 2
+    if half:
+        rolled = np.roll(v, -half)
+        rolled[-half:] = (-rolled[-half:].astype(np.int64)).astype(
+            np.uint64)
+        v = rolled
+    return jnp.asarray(v)
+
+
+def programmable_bootstrap_bivariate(
+        ct_a, ct_b, fn, bsk, ksk, lwe: LweDef, glwe: GlweDef,
+        pbs_radix: RadixDecomposition, ks_radix: RadixDecomposition,
+        plaintext_bits: int):
+    """f(a, b) via message packing: combined = a * 2^bits + b, then a
+    univariate PBS over 2*bits (reference:
+    `programmable_bootstrapping.rs` bivariate variant).
+
+    IMPORTANT: both inputs must be encrypted at `2*plaintext_bits`
+    total precision (i.e. `torus.encode(v, 2*plaintext_bits)`) so the
+    packing shift does not overflow the encoding; the top bit of the
+    packed space is the padding bit."""
+    packed = lwe_add(lwe_scalar_mul(ct_a, 1 << plaintext_bits), ct_b)
+    total_bits = 2 * plaintext_bits
+
+    def f2(m):
+        hi = m >> plaintext_bits
+        lo = m & ((1 << plaintext_bits) - 1)
+        return int(fn(hi, lo)) % (1 << total_bits)
+
+    tp = test_polynomial_for(f2, total_bits, glwe)
+    return programmable_bootstrap_univariate(
+        packed, tp, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+
+
+# --------------------------------------------------------------------------
+# private functional keyswitching (LWE -> GLWE)
+# --------------------------------------------------------------------------
+
+def generate_private_functional_keyswitch_key(
+        f_poly, from_sk, to_glwe_sk, to_params: GlweDef,
+        radix: RadixDecomposition, key):
+    """Keys K_{i,j} = GLWE(f(s_i) * B_j) for the secret linear function
+    f(x) = f_poly * x (f_poly an integer polynomial), plus the body
+    keys K_{n,j} = GLWE(f(1) * B_j) — the function stays hidden inside
+    the keys (reference: `ops/keyswitch/private_functional_keyswitch`).
+    """
+    n_in = from_sk.shape[0]
+    f_poly = jnp.asarray(f_poly, dtype=jnp.int64)
+    rows = []
+    for i in range(n_in + 1):
+        if i < n_in:
+            # f(s_i) = f_poly * s_i (scalar bit)
+            msg = f_poly * from_sk[i].astype(jnp.int64)
+        else:
+            msg = f_poly
+        msg_t = msg.astype(U64)
+        lvl = []
+        for j in range(radix.count):
+            bj = U64(1) << jnp.uint64(
+                TORUS_BITS - (j + 1) * radix.radix_log)
+            lvl.append(encrypt_glwe(
+                msg_t * bj, to_glwe_sk, to_params,
+                jax.random.fold_in(key, i * radix.count + j)))
+        rows.append(jnp.stack(lvl))
+    return jnp.stack(rows)  # [n_in+1, l, k+1, N]
+
+
+def private_functional_keyswitch(ct, pfksk, to_params: GlweDef,
+                                 radix: RadixDecomposition):
+    """LWE(m) -> GLWE(f(m)): result = decomp(b).K_n
+    - sum_i decomp(a_i).K_i, so phase = f(b) - sum a_i f(s_i) ~ f(m)."""
+    a = ct[..., :-1]
+    b = ct[..., -1]
+    n_in = a.shape[-1]
+    digits_a = torus.signed_decompose(a, radix.radix_log, radix.count)
+    digits_b = torus.signed_decompose(b, radix.radix_log, radix.count)
+    # sum over (i, j): digits [l, n_in] x pfksk [n_in, l, k+1, N]
+    keys_a = jnp.swapaxes(pfksk[:n_in], 0, 1)  # [l, n_in, k+1, N]
+    term_a = jnp.sum(
+        digits_a.astype(U64)[..., None, None] * keys_a, axis=(0, 1))
+    term_b = jnp.sum(
+        digits_b.astype(U64)[:, None, None] * pfksk[n_in], axis=0)
+    return term_b - term_a
+
+
+# --------------------------------------------------------------------------
+# circuit bootstrapping + scheme switching
+# --------------------------------------------------------------------------
+
+def generate_cbs_pfksk(glwe_extracted_sk, to_glwe_sk, glwe: GlweDef,
+                       radix: RadixDecomposition, key):
+    """Private functional keyswitch keys for circuit bootstrapping: one
+    pfksk per GGSW row — mask row i applies f_i(x) = -s'_i(X) * x,
+    body row applies f(x) = x (reference: `generate_cbs_ksk`)."""
+    import numpy as np
+    kk = glwe.size
+    n = glwe.poly_degree
+    keys_out = []
+    for i in range(kk + 1):
+        if i < kk:
+            f_poly = -np.asarray(to_glwe_sk[i]).astype(np.int64)
+        else:
+            f_poly = np.zeros(n, dtype=np.int64)
+            f_poly[0] = 1
+        keys_out.append(generate_private_functional_keyswitch_key(
+            jnp.asarray(f_poly), glwe_extracted_sk, to_glwe_sk, glwe,
+            radix, jax.random.fold_in(key, i)))
+    return jnp.stack(keys_out)  # [k+1, n_in+1, l, k+1, N]
+
+
+def circuit_bootstrap(lwe_ct, bsk, cbs_pfksk, lwe: LweDef,
+                      glwe: GlweDef, pbs_radix: RadixDecomposition,
+                      out_radix: RadixDecomposition,
+                      pfks_radix: RadixDecomposition):
+    """LWE(bit) -> GGSW(bit): for each output level j, a PBS emits
+    LWE(m * B_j) under the extracted key; a private functional
+    keyswitch then maps it into each GGSW row (reference:
+    `circuit_bootstrapping.rs:148-317`)."""
+    kk = glwe.size
+    rows = [[None] * out_radix.count for _ in range(kk + 1)]
+    for j in range(out_radix.count):
+        bj = 1 << (TORUS_BITS - (j + 1) * out_radix.radix_log)
+        tp = test_polynomial_torus(lambda m: m * bj, 2, glwe)
+        rotated = blind_rotate(tp, lwe_ct, bsk, glwe, pbs_radix)
+        extracted = sample_extract(rotated, glwe)  # LWE(m*B_j), key kN
+        for i in range(kk + 1):
+            rows[i][j] = private_functional_keyswitch(
+                extracted, cbs_pfksk[i], glwe, pfks_radix)
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def generate_scheme_switch_key(glwe_sk, glwe: GlweDef,
+                               radix: RadixDecomposition, key):
+    """GGSW(-s_i) per mask index (reference `scheme_switch.rs` uses
+    GLEV(s_i s_j) products; this equivalent form reuses the external
+    product)."""
+    import numpy as np
+    out = []
+    for i in range(glwe.size):
+        neg_si = (-np.asarray(glwe_sk[i]).astype(np.int64))
+        out.append(encrypt_ggsw(jnp.asarray(neg_si).astype(U64), glwe_sk,
+                                glwe, radix,
+                                jax.random.fold_in(key, i)))
+    return jnp.stack(out)  # [k, k+1, l, k+1, N]
+
+
+def scheme_switch(glev, ssk, glwe: GlweDef,
+                  ssk_radix: RadixDecomposition,
+                  out_radix: RadixDecomposition):
+    """GLEV(m) -> GGSW(m): mask rows (i, j) = GGSW(-s_i) ⊡ GLEV_j,
+    body rows = GLEV_j (reference: `scheme_switch.rs:22-254`).
+
+    `ssk_radix` (the switch keys' decomposition) must be much finer
+    than `out_radix` (the produced GGSW's level structure): the
+    external-product decomposition error is amplified by ||s_i||_1 ~
+    N/2, so ssk_radix needs ~log2(N) more precision bits — the reason
+    the reference's scheme-switch keys get their own radix params."""
+    kk = glwe.size
+    rows = []
+    for i in range(kk):
+        rows.append(jnp.stack([
+            external_product(ssk[i], glev[j], glwe, ssk_radix)
+            for j in range(out_radix.count)]))
+    rows.append(glev)
+    return jnp.stack(rows)
