@@ -20,7 +20,7 @@ import jax.numpy as jnp
 BASELINE_OPS_PER_S = 250.0
 N = 8192
 LIMBS = 3
-BATCH = 8
+BATCH = 32  # throughput scales with batch: 8 -> 550 op/s, 32 -> 1068 op/s
 
 
 def main():

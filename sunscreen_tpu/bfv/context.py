@@ -67,6 +67,12 @@ class BfvContext:
             self.mul_base, self.q_base, self.aux_base, t)
         self.decrypt_scaler = rns.DecryptScaler(self.q_base, t)
         self.mod_down = rns.ModDown(self.q_base, params.special_modulus)
+        # drop-last-limb rescale for mod_switch_to_next
+        if self.k >= 2:
+            self.mod_switch_down = rns.ModDown(
+                rns.RnsBase(q_mods[:-1]), q_mods[-1])
+        else:
+            self.mod_switch_down = None
 
         # --- Δ = round(Q*m/t) tables (exact; see ops.scale_plain) -----------
         Q = params.q_product

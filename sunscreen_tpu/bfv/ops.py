@@ -380,6 +380,28 @@ def rotate_columns(ctx: BfvContext, ct, gks: GaloisKeys):
 # modulus switching
 # --------------------------------------------------------------------------
 
+def mod_switch_to_next(ctx: BfvContext, ct):
+    """Drop the last ciphertext modulus: c' = round(c * Q'/Q) per
+    component, where Q' = Q/q_last (SEAL:
+    `Evaluator::mod_switch_to_next`; `util::RNSTool::divide_and_round_
+    q_last_inplace`). Returns arrays over k-1 limbs — decrypt/further
+    ops need the context of the reduced parameter set
+    (`mod_switch_context`)."""
+    assert ctx.k >= 2, "cannot mod-switch below one modulus"
+    md = ctx.mod_switch_down
+    return md.apply(ct[..., :ctx.k - 1, :], ct[..., ctx.k - 1, :])
+
+
+def mod_switch_context(ctx: BfvContext) -> BfvContext:
+    """Context for ciphertexts after one mod_switch_to_next."""
+    from sunscreen_tpu.bfv.context import get_context
+    from sunscreen_tpu.bfv.params import BfvParams
+    p = ctx.params
+    return get_context(BfvParams(
+        p.poly_degree, p.plain_modulus, p.coeff_modulus[:-1],
+        p.special_modulus, p.security_level))
+
+
 def exponentiate(ctx: BfvContext, ct, power: int, rlk: KswKey):
     """ct^power by square-and-multiply with relin after each multiply
     (SEAL: `Evaluator::exponentiate`)."""

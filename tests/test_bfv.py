@@ -205,3 +205,27 @@ def test_batched_ciphertext_axis(setup):
     expect = np.asarray(plan_t.negacyclic_mul(
         pts[:, None, :], pts[:, None, :]))[:, 0]
     np.testing.assert_array_equal(dec, expect)
+
+
+def test_mod_switch_to_next():
+    # SEAL: Evaluator::mod_switch_to_next — drop a limb, decrypt intact
+    import jax as _jax
+    from sunscreen_tpu.bfv import BfvParams as _P, get_context as _g
+    from sunscreen_tpu.math import sampling as _s
+    params = _P.insecure(poly_degree=1024, limbs=3, limb_bits=40)
+    ctx = _g(params)
+    key = _jax.random.key(5)
+    sk = keys.gen_secret_key(ctx, _jax.random.fold_in(key, 0))
+    pk = keys.gen_public_key(ctx, sk, _jax.random.fold_in(key, 1))
+    pt = RNG.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    ct = ops.encrypt(ctx, pk, pt, _jax.random.fold_in(key, 2))
+    switched = ops.mod_switch_to_next(ctx, ct)
+    assert switched.shape[-2] == ctx.k - 1
+    ctx2 = ops.mod_switch_context(ctx)
+    s_q = _s.signed_to_rns(sk.s, ctx2.q_base.q_dev)
+    s_key = _s.signed_to_rns(sk.s, ctx2.key_base.q_dev)
+    sk2 = keys.SecretKey(sk.s, ctx2.plan_q.fwd(s_q),
+                         ctx2.plan_key.fwd(s_key))
+    np.testing.assert_array_equal(
+        np.asarray(ops.decrypt(ctx2, sk2, switched)), pt)
+    assert float(ops.invariant_noise_budget(ctx2, sk2, switched)) > 0
