@@ -18,8 +18,8 @@ import numpy as np  # noqa: E402
 
 from sunscreen_tpu.math import ntt, primes  # noqa: E402
 
-# v5p-ish HBM bandwidth ballpark; override with --hbm-gbs
-HBM_GBS = 2765.0
+# this machine's chip reports as TPU v5 lite (v5e): ~819 GB/s HBM
+HBM_GBS = 819.0
 
 
 def bench(n: int, k: int, batch: int, iters: int = 10):

@@ -94,6 +94,14 @@ class Compiler:
         self._plain_constraint = PlainModulusConstraint.BatchingMinimum(20)
         self._security = 128
         self._noise_margin = DEFAULT_NOISE_MARGIN_BITS
+        self._measured_model = False
+
+    def use_measured_noise_model(self, enabled: bool = True) -> "Compiler":
+        """Search with the empirical model (encrypt + run each candidate
+        — the reference's default, `MeasuredModel`). Slower but tighter
+        than the analytic default."""
+        self._measured_model = enabled
+        return self
 
     def fhe_program(self, prog: FheProgramFn) -> "Compiler":
         if not isinstance(prog, FheProgramFn):
@@ -140,7 +148,7 @@ class Compiler:
             ok = True
             for pf in self._programs:
                 try:
-                    prog, _, _ = pf.build(params)
+                    prog, sig, lits = pf.build(params)
                     prog = compile_program(prog)
                 except Exception as e:  # e.g. literal overflow at small N
                     last_err = e
@@ -150,6 +158,14 @@ class Compiler:
                 if budget < self._noise_margin:
                     ok = False
                     break
+                if self._measured_model:
+                    compiled = CompiledFheProgram(pf.name, prog, sig,
+                                                  lits, params)
+                    measured = noise_model.MeasuredModel(
+                        compiled, params).worst_budget
+                    if measured < self._noise_margin:
+                        ok = False
+                        break
             if ok:
                 return params
         raise RuntimeError(

@@ -100,6 +100,54 @@ class BfvStatements:
         self.witnesses.append(StatementWitness(
             s=np.asarray(s), e=np.asarray(e)))
 
+    def add_decryption(self, message_id: int, ct, secret_key):
+        """Statement that `ct` decrypts to the identified message under
+        `secret_key` (reference: `BfvProofStatement::Decryption`). The
+        decryption error witness e = c0 + c1*s - Δm - r is computed
+        here; its bound is Δ/2 (correct decryption)."""
+        ct = np.asarray(ct)
+        s = np.asarray(secret_key.s).astype(np.int64)
+        e = self._decryption_error(ct, s, self.messages[message_id])
+        self.statements.append(
+            DecryptionStatement(message_id, ct))
+        # relation row uses c1*(-s) + (-e); store positives, negated in
+        # build like private encryption — but note decryption has
+        # e = c(s) - Δm - r, so the row needs -(-e) ... keep the same
+        # sign convention by storing -e directly
+        self.witnesses.append(StatementWitness(s=s, e=-e))
+        return e
+
+    def _decryption_error(self, ct, s, msg) -> np.ndarray:
+        """e over Z with |e| < Δ/2, from exact host arithmetic."""
+        ctx = self.ctx
+        q = ctx.params.q_product
+        t = ctx.t
+        d = ctx.n
+        delta = q // t
+        q_mod_t = q % t
+        c0 = _rns_to_int_poly(ctx, ct[0])
+        c1 = _rns_to_int_poly(ctx, ct[1])
+        s_l = [int(x) for x in s]
+        # c0 + c1*s mod (X^d + 1, q)
+        acc = [0] * d
+        for i, ci in enumerate(c1):
+            for j, sj in enumerate(s_l):
+                k = i + j
+                if k < d:
+                    acc[k] += ci * sj
+                else:
+                    acc[k - d] -= ci * sj
+        v = [(a + b) % q for a, b in zip(c0, acc)]
+        e = np.empty(d, dtype=np.int64)
+        for i in range(d):
+            m_i = int(msg[i])
+            r_i = ((q_mod_t * m_i) * 2 + t) // (2 * t)
+            lift = (v[i] - delta * m_i - r_i) % q
+            if lift > q // 2:
+                lift -= q
+            e[i] = lift
+        return e
+
     # -- assembly ------------------------------------------------------------
 
     def _layout(self):

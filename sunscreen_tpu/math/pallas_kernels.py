@@ -140,13 +140,22 @@ def make_pointwise_mul_mod(q: int, interpret: bool = False):
 
     @jax.jit
     def run(a_hi, a_lo, b_hi, b_lo):
+        rows, cols = a_hi.shape
+        # tile rows so each block (x ~10 u32 temporaries) fits VMEM
+        tile_r = rows
+        while tile_r * cols * 4 * 12 > 8 * 1024 * 1024 and tile_r % 2 == 0:
+            tile_r //= 2
+        if rows % tile_r:
+            tile_r = rows
+        spec = pl.BlockSpec((tile_r, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
+            grid=(rows // tile_r,),
             out_shape=(jax.ShapeDtypeStruct(a_hi.shape, jnp.uint32),
                        jax.ShapeDtypeStruct(a_hi.shape, jnp.uint32)),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                       pl.BlockSpec(memory_space=pltpu.VMEM)),
+            in_specs=[spec] * 4,
+            out_specs=(spec, spec),
             interpret=interpret,
         )(a_hi, a_lo, b_hi, b_lo)
 

@@ -1,0 +1,74 @@
+"""High-level TFHE convenience API.
+
+Mirrors the reference's `sunscreen_tfhe/src/high_level.rs` module
+namespaces (keygen / encryption / evaluation) over the flat `ops`
+functions, plus a `UnivariateLookupTable` wrapper (reference:
+`entities/univariate_lookup_table`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from sunscreen_tpu.tfhe import ops
+from sunscreen_tpu.tfhe.params import GlweDef, LweDef, RadixDecomposition
+
+
+class keygen:
+    generate_binary_lwe_sk = staticmethod(ops.generate_binary_lwe_sk)
+    generate_binary_glwe_sk = staticmethod(ops.generate_binary_glwe_sk)
+    generate_bootstrapping_key = staticmethod(ops.generate_bootstrap_key)
+    generate_ksk = staticmethod(ops.generate_keyswitch_key)
+    generate_cbs_ksk = staticmethod(ops.generate_cbs_pfksk)
+    generate_scheme_switch_key = staticmethod(
+        ops.generate_scheme_switch_key)
+    generate_rlwe_public_key = staticmethod(ops.generate_rlwe_public_key)
+
+
+class encryption:
+    encrypt_lwe = staticmethod(ops.encrypt_lwe)
+    encrypt_lwe_and_return_randomness = staticmethod(
+        ops.encrypt_lwe_return_components)
+    encrypt_glwe = staticmethod(ops.encrypt_glwe)
+    encrypt_glwe_public = staticmethod(ops.encrypt_glwe_public)
+    encrypt_glev = staticmethod(ops.encrypt_glev)
+    encrypt_ggsw = staticmethod(ops.encrypt_ggsw)
+    trivial_lwe = staticmethod(ops.trivial_lwe)
+    trivial_glwe = staticmethod(ops.trivial_glwe)
+    decrypt_lwe = staticmethod(ops.decrypt_lwe)
+    decrypt_glwe = staticmethod(ops.decrypt_glwe)
+    decrypt_glev = staticmethod(ops.decrypt_glev)
+
+
+@dataclass(frozen=True)
+class UnivariateLookupTable:
+    """A function baked into a PBS test polynomial (reference:
+    `UnivariateLookupTable` entity)."""
+
+    poly: object
+    plaintext_bits: int
+
+    @staticmethod
+    def trivial_from_fn(fn, glwe: GlweDef,
+                        plaintext_bits: int) -> "UnivariateLookupTable":
+        return UnivariateLookupTable(
+            ops.test_polynomial_for(fn, plaintext_bits, glwe),
+            plaintext_bits)
+
+
+class evaluation:
+    cmux = staticmethod(ops.cmux)
+    external_product = staticmethod(ops.external_product)
+    blind_rotation = staticmethod(ops.blind_rotate)
+    sample_extract = staticmethod(ops.sample_extract)
+    keyswitch_lwe_to_lwe = staticmethod(ops.keyswitch_lwe_to_lwe)
+    circuit_bootstrap = staticmethod(ops.circuit_bootstrap)
+    scheme_switch = staticmethod(ops.scheme_switch)
+
+    @staticmethod
+    def univariate_programmable_bootstrap(
+            lwe_ct, lut: UnivariateLookupTable, bsk, ksk, lwe: LweDef,
+            glwe: GlweDef, pbs_radix: RadixDecomposition,
+            ks_radix: RadixDecomposition):
+        return ops.programmable_bootstrap_univariate(
+            lwe_ct, lut.poly, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)

@@ -96,3 +96,25 @@ def test_two_statements_shared_message(setup):
                    u_gen)
     assert verify(proof, Transcript(b"bfv-sdlp2"), vk, gens.g, gens.h,
                   u_gen)
+
+
+def test_decryption_statement(setup):
+    # reference: BfvProofStatement::Decryption — prove a ciphertext
+    # decrypts to a known message under the secret key
+    ctx, sk, pk, key = setup
+    rng = np.random.default_rng(7)
+    pt = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    ct = ops.encrypt(ctx, pk, pt, jax.random.fold_in(key, 9))
+    st = BfvStatements(ctx)
+    mid = st.add_message(pt)
+    e = st.add_decryption(mid, np.asarray(ct), sk)
+    # decryption error must be within Delta/2
+    delta = ctx.params.q_product // ctx.t
+    assert np.abs(e).max() < delta // 2
+    vk, pk_know = st.build()
+    gens = LogProofGenerators(vk.l)
+    u_gen = ip.get_u()
+    proof = create(Transcript(b"bfv-dec"), pk_know, gens.g, gens.h,
+                   u_gen)
+    assert verify(proof, Transcript(b"bfv-dec"), vk, gens.g, gens.h,
+                  u_gen)
