@@ -206,3 +206,15 @@ def test_ir_serialization_roundtrip():
     rt = FheProgram.from_json(prog.to_json())
     assert [n.op for n in rt.nodes] == [n.op for n in prog.nodes]
     assert rt.outputs == prog.outputs
+
+
+def test_measured_noise_model():
+    # reference: MeasuredModel actually encrypts + runs the program
+    from sunscreen_tpu.compiler.noise import MeasuredModel, \
+        predicted_budget
+    app = compile_with_params(simple_multiply)
+    prog = app.get_program(simple_multiply)
+    model = MeasuredModel(prog, PARAMS)
+    assert model.worst_budget > 0
+    # analytic prediction must be conservative vs measurement
+    assert predicted_budget(prog.prog, PARAMS) <= model.worst_budget + 1
