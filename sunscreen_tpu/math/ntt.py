@@ -20,8 +20,10 @@ multiplies use Shoup precomputation (2 wide mults per butterfly).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +31,12 @@ from sunscreen_tpu.math import modular as m
 from sunscreen_tpu.math import primes
 
 U64 = jnp.uint64
+
+# Compact mode trades ~2-3x runtime for ~log2(N)x smaller XLA graphs
+# (each transform becomes one fori_loop body instead of log2(N) unrolled
+# stages) — useful when cold-compile latency dominates, e.g. through a
+# tunneled TPU. Opt in with SUNSCREEN_TPU_COMPACT_NTT=1.
+COMPACT_NTT = os.environ.get("SUNSCREEN_TPU_COMPACT_NTT", "") == "1"
 
 
 def _bit_reverse(x: int, bits: int) -> int:
@@ -94,10 +102,88 @@ class NttPlan:
         self.ratio_hi = jnp.asarray(ratio_hi)
         self.ratio_lo = jnp.asarray(ratio_lo)
 
+    # -- compact (fori_loop) stage tables -----------------------------------
+
+    def _stage_tables(self):
+        """Lazily built per-stage flat butterfly tables for the compact
+        path: U/V index arrays [log_n, N/2] and twiddle (+Shoup) tables
+        [log_n, k, N/2]. Output ordering is IDENTICAL to the unrolled
+        path (same algorithm, loop form only)."""
+        if getattr(self, "_stages", None) is not None:
+            return self._stages
+        n, log_n, k = self.n, self.log_n, len(self.moduli)
+        half = n // 2
+        U = np.empty((log_n, half), dtype=np.int32)
+        V = np.empty((log_n, half), dtype=np.int32)
+        W = np.empty((log_n, k, half), dtype=np.uint64)
+        WS = np.empty((log_n, k, half), dtype=np.uint64)
+        IW = np.empty((log_n, k, half), dtype=np.uint64)
+        IWS = np.empty((log_n, k, half), dtype=np.uint64)
+        psi = np.asarray(self.psi_rev)
+        psi_sh = np.asarray(self.psi_rev_sh)
+        ipsi = np.asarray(self.ipsi_rev)
+        ipsi_sh = np.asarray(self.ipsi_rev_sh)
+        for s in range(log_n):
+            mm = 1 << s
+            t = n >> (s + 1)
+            p = 0
+            for j in range(mm):
+                base = j * 2 * t
+                for i in range(t):
+                    U[s, p] = base + i
+                    V[s, p] = base + t + i
+                    W[s, :, p] = psi[:, mm + j]
+                    WS[s, :, p] = psi_sh[:, mm + j]
+                    IW[s, :, p] = ipsi[:, mm + j]
+                    IWS[s, :, p] = ipsi_sh[:, mm + j]
+                    p += 1
+        self._stages = tuple(jnp.asarray(a)
+                             for a in (U, V, W, WS, IW, IWS))
+        return self._stages
+
+    def fwd_compact(self, x):
+        """`fwd` as one lax.fori_loop (identical output ordering)."""
+        U, V, W, WS, _, _ = self._stage_tables()
+        k = len(self.moduli)
+        q = self.q.reshape(k, 1)
+
+        def body(s, x):
+            u = jnp.take(x, U[s], axis=-1)
+            v = m.reduce_2q(m.mul_mod_shoup(
+                jnp.take(x, V[s], axis=-1), W[s], WS[s], q), q)
+            x = x.at[..., U[s]].set(m.add_mod(u, v, q))
+            return x.at[..., V[s]].set(m.sub_mod(u, v, q))
+
+        return jax.lax.fori_loop(0, self.log_n, body, x)
+
+    def inv_compact(self, x):
+        """`inv` as one lax.fori_loop (identical output ordering)."""
+        U, V, _, _, IW, IWS = self._stage_tables()
+        k = len(self.moduli)
+        q = self.q.reshape(k, 1)
+
+        def body(i, x):
+            s = self.log_n - 1 - i
+            y0 = jnp.take(x, U[s], axis=-1)
+            y1 = jnp.take(x, V[s], axis=-1)
+            u = m.add_mod(y0, y1, q)
+            d = m.sub_mod(y0, y1, q)
+            v = m.reduce_2q(m.mul_mod_shoup(d, IW[s], IWS[s], q), q)
+            x = x.at[..., U[s]].set(u)
+            return x.at[..., V[s]].set(v)
+
+        x = jax.lax.fori_loop(0, self.log_n, body, x)
+        q2 = self.q.reshape(k, 1)
+        return m.reduce_2q(
+            m.mul_mod_shoup(x, self.n_inv.reshape(k, 1),
+                            self.n_inv_sh.reshape(k, 1), q2), q2)
+
     # -- transforms --------------------------------------------------------
 
     def fwd(self, x):
         """Forward negacyclic NTT: [..., k, N] natural -> bit-reversed."""
+        if COMPACT_NTT:
+            return self.fwd_compact(x)
         n, k = self.n, len(self.moduli)
         batch = x.shape[:-2]
         q3 = self.q.reshape(k, 1, 1)
@@ -117,6 +203,8 @@ class NttPlan:
 
     def inv(self, x):
         """Inverse negacyclic NTT: bit-reversed -> natural order."""
+        if COMPACT_NTT:
+            return self.inv_compact(x)
         n, k = self.n, len(self.moduli)
         batch = x.shape[:-2]
         q3 = self.q.reshape(k, 1, 1)

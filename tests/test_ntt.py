@@ -98,3 +98,24 @@ def test_x_shift_negates_wraparound():
     want[0, 0] = (q - a[0, n - 1]) % q
     want[0, 1:] = a[0, :n - 1]
     np.testing.assert_array_equal(got, want)
+
+
+def test_compact_path_bit_identical():
+    # fori_loop lowering must match the unrolled path exactly
+    # (same algorithm, same output ordering)
+    import jax.numpy as jnp
+
+    from sunscreen_tpu.math import ntt, primes
+    n = 256
+    moduli = tuple(primes.gen_ntt_primes(50, 2, n))
+    plan = ntt.get_plan(n, moduli)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, n, dtype=np.uint64) for q in moduli]))
+    np.testing.assert_array_equal(
+        np.asarray(plan.fwd(x)), np.asarray(plan.fwd_compact(x)))
+    f = plan.fwd(x)
+    np.testing.assert_array_equal(
+        np.asarray(plan.inv(f)), np.asarray(plan.inv_compact(f)))
+    np.testing.assert_array_equal(
+        np.asarray(plan.inv_compact(plan.fwd_compact(x))), np.asarray(x))
