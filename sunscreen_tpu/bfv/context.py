@@ -22,7 +22,7 @@ from sunscreen_tpu.math import ntt, primes, rns
 
 U64 = jnp.uint64
 
-AUX_PRIME_BITS = 60
+AUX_PRIME_BITS = 56  # <= 56 keeps the MXU matmul-NTT bound (mntt.py)
 
 
 def _aux_base_size(params: BfvParams) -> int:

@@ -24,7 +24,12 @@ MAX_LOG_Q = {
     256: {1024: 14, 2048: 29, 4096: 58, 8192: 118, 16384: 237, 32768: 476},
 }
 
-SEALISH_MAX_LIMB_BITS = 60
+# SEAL allows limbs up to 60 bits; we cap at 56 so every modulus (incl.
+# the special keyswitch prime and the HPS aux base) satisfies the MXU
+# matmul-NTT precondition n1*q^2 < q*2^64 (math/mntt.py). The 4 lost
+# bits of p_sp cost ~4 bits of keyswitch-noise headroom — far below the
+# multiply noise floor — and give Q 4 more budget bits.
+SEALISH_MAX_LIMB_BITS = 56
 
 
 def batching_plain_modulus(poly_degree: int, bits: int) -> int:

@@ -161,8 +161,23 @@ class Compiler:
                 if self._measured_model:
                     compiled = CompiledFheProgram(pf.name, prog, sig,
                                                   lits, params)
-                    measured = noise_model.MeasuredModel(
-                        compiled, params).worst_budget
+                    # chain_count iterations: feed the worst output
+                    # budget back in as the next run's input level via
+                    # TargetNoiseLevel synthesis (reference:
+                    # params.rs:199-226 + measured_model.rs:57-130)
+                    target = None
+                    measured = float("inf")
+                    for _ in range(max(1, pf.chain_count)):
+                        mm = noise_model.MeasuredModel(
+                            compiled, params, input_targets=target)
+                        measured = mm.worst_budget
+                        if measured < self._noise_margin:
+                            break
+                        n_ct = sum(
+                            1 for nd in compiled.nodes
+                            if nd.op == noise_model.Op.INPUT_CIPHERTEXT)
+                        target = [noise_model.TargetNoiseLevel(measured)
+                                  ] * n_ct
                     if measured < self._noise_margin:
                         ok = False
                         break

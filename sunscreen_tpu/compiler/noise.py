@@ -1,55 +1,104 @@
-"""Noise models: analytic invariant-noise predictor + measured model.
+"""Noise models: canonical-embedding-norm analytic predictor + measured
+model with target-noise ciphertext synthesis.
 
 Replaces `sunscreen_backend/src/noise_model/` — `predict_noise` walking
-the DAG applying a per-op model (`mod.rs:38-170`), the
-`CanonicalEmbeddingNormModel` analytic model
-(`canonical_embedding_norm.rs`) and the `MeasuredModel` that actually
-encrypts and runs the program (`measured_model.rs:57-130`).
+the DAG applying a per-op `NoiseModel` (`mod.rs:38-170`), the
+`CanonicalEmbeddingNormModel` (`canonical_embedding_norm.rs`, heuristics
+from Iliashenko "Optimizations of Fully Homomorphic Encryption" pp.
+45-48 and the SEAL 2.3.1 release notes), the invariant-noise <-> budget
+conversions (`mod.rs:184-195`), and the `MeasuredModel` +
+`TargetNoiseLevel` synthesis that burns budget by repeated
+squaring/doubling to fabricate inputs at a chosen noise level
+(`measured_model.rs:16-130`).
 
-Noise is tracked as *invariant noise bits*: log2(|v|) where
-t/Q * c(s) = m + v + a*t; decryption succeeds iff |v| < 1/2, i.e.
-bits < -1. Budget = -(bits + 1).
+Noise is tracked as *invariant noise* |v| where t/Q*c(s) = m + v + a*t;
+decryption succeeds iff |v| < 1/2. budget = -log2(2|v|).
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from sunscreen_tpu.compiler.ir import FheProgram, Op
 
-SIGMA = 3.24  # CBD(21) stddev, see sunscreen_tpu.math.sampling
-B = 6 * SIGMA  # high-probability noise bound
+NOISE_STD_DEV = 3.24  # CBD(21) stddev, see sunscreen_tpu.math.sampling
 
 
-def fresh_noise_bits(params) -> float:
-    """Invariant-noise bits of a fresh asymmetric encryption:
-    v = (t/Q)*(e1 + e2*s - e*u + rounding). Canonical-embedding-style
-    heuristic bound: |v| <= (t/Q) * B * (1 + 2*N*Vs) with Vs = 2/3
-    ternary variance folded into a sqrt — we use the conservative
-    worst-case 2NB like the reference's measured fresh noise scale."""
-    t, n = params.plain_modulus, params.poly_degree
-    q = params.q_product
-    v = (t / q) * B * (2 * math.sqrt(n * 2.0 / 3.0) * 6 + 1)
-    return math.log2(v)
+def noise_to_noise_budget(invariant_noise: float) -> float:
+    """budget = -log2(2|v|) (reference: `mod.rs:184`)."""
+    if invariant_noise <= 0:
+        return float("inf")
+    return -math.log2(2.0 * invariant_noise)
 
 
-def predict_noise(prog: FheProgram, params, input_noise: float | None = None
+def noise_budget_to_noise(budget: float) -> float:
+    """|v| = 2^-budget / 2 (reference: `mod.rs:193`)."""
+    return 2.0 ** (-budget) / 2.0
+
+
+class CanonicalEmbeddingNormModel:
+    """Canonical-embedding-norm upper bounds per op (reference:
+    `canonical_embedding_norm.rs`; formula sources per its doc comment:
+    encrypt/mul from Iliashenko pp. 45/48, add from SEAL 2.3.1 notes,
+    relin empirically zero per `seal_fhe/tests/assumptions.rs`)."""
+
+    def __init__(self, params):
+        assert params.plain_modulus >= 2
+        assert len(params.coeff_modulus) >= 1
+        self.params = params
+        self.q = float(params.q_product)
+        self.t = float(params.plain_modulus)
+        self.n = float(params.poly_degree)
+        self.r_t = float(params.q_product % params.plain_modulus)
+
+    def encrypt(self) -> float:
+        t, n, q = self.t, self.n, self.q
+        noise = (t * (n * (t - 1.0) / 2.0)
+                 + 2.0 * NOISE_STD_DEV * math.sqrt(12.0 * n * n + 9.0 * n))
+        return noise / q
+
+    def add_ct_ct(self, v1: float, v2: float) -> float:
+        return v1 + v2
+
+    def add_ct_pt(self, v: float) -> float:
+        return v + self.r_t * self.n * self.t / self.q
+
+    def mul_ct_ct(self, v1: float, v2: float) -> float:
+        t, n, q = self.t, self.n, self.q
+        term_0 = t * math.sqrt(3.0 * n + 2.0 * n * n) * (v1 + v2)
+        # the reference uses 3*v1 + v2 where the cited Iliashenko bound
+        # has 3*v1*v2; we keep the reference's (larger, hence more
+        # conservative for param search) form for parity.
+        term_1 = 3.0 * v1 + v2
+        term_2 = (t / q) * math.sqrt(
+            3.0 * n + 2.0 * n * n + 4.0 / 3.0 * n * n * n)
+        return term_0 + term_1 + term_2
+
+    def mul_ct_pt(self, v: float) -> float:
+        return v * self.n * (self.t - 1.0)
+
+    def relinearize(self, v: float) -> float:
+        return v
+
+    def rotation(self, v: float) -> float:
+        # reference heuristic: charge 8 budget bits per rotation
+        # (`canonical_embedding_norm.rs` shift_left/right/swap_rows)
+        return v + noise_budget_to_noise(8.0)
+
+
+def predict_noise(prog: FheProgram, params,
+                  input_noise: float | None = None,
+                  model: CanonicalEmbeddingNormModel | None = None
                   ) -> float:
-    """Worst output invariant-noise bits after evaluating `prog`.
+    """Worst output invariant-noise BITS (log2 |v|) after evaluating
+    `prog` (reference: `predict_noise`, `mod.rs:38-170`).
 
-    Per-op rules (reference `NoiseModel` trait surface, `mod.rs:200-272`):
-      add: v1 + v2
-      add_plain: v + t*N/(2Q) (rounding term)
-      mul: ~ 2*t*sqrt(3N) * (v1 + v2)  [relin adds negligible]
-      mul_plain: v * N*t/2
-      rotation/relin: + tiny keyswitch noise
+    `input_noise`: absolute invariant noise |v| to assume on ciphertext
+    inputs (chained programs); default = fresh encryption noise.
     """
-    t, n = params.plain_modulus, params.poly_degree
-    q = params.q_product
-    fresh = input_noise if input_noise is not None \
-        else 2.0 ** fresh_noise_bits(params)
-    ks = (t / q) * B * n * len(params.coeff_modulus) \
-        * max(params.coeff_modulus) / params.special_modulus
+    mdl = model or CanonicalEmbeddingNormModel(params)
+    fresh = input_noise if input_noise is not None else mdl.encrypt()
     noise: list[float] = [0.0] * len(prog.nodes)
     for i, node in enumerate(prog.nodes):
         ops_ = node.operands
@@ -58,20 +107,19 @@ def predict_noise(prog: FheProgram, params, input_noise: float | None = None
         elif node.op in (Op.INPUT_PLAINTEXT, Op.LITERAL):
             noise[i] = 0.0
         elif node.op in (Op.ADD, Op.SUB):
-            noise[i] = noise[ops_[0]] + noise[ops_[1]]
+            noise[i] = mdl.add_ct_ct(noise[ops_[0]], noise[ops_[1]])
         elif node.op in (Op.ADD_PLAIN, Op.SUB_PLAIN):
-            noise[i] = noise[ops_[0]] + t * n / (2.0 * q)
+            noise[i] = mdl.add_ct_pt(noise[ops_[0]])
         elif node.op == Op.MULTIPLY:
-            v1, v2 = noise[ops_[0]], noise[ops_[1]]
-            noise[i] = 2.0 * t * math.sqrt(3.0 * n) * (v1 + v2) \
-                + t * math.sqrt(n) * 3.0 / q
+            noise[i] = mdl.mul_ct_ct(noise[ops_[0]], noise[ops_[1]])
         elif node.op == Op.MULTIPLY_PLAIN:
-            noise[i] = noise[ops_[0]] * (n * t / 2.0)
+            noise[i] = mdl.mul_ct_pt(noise[ops_[0]])
         elif node.op == Op.NEGATE:
             noise[i] = noise[ops_[0]]
-        elif node.op in (Op.RELINEARIZE, Op.SHIFT_LEFT, Op.SHIFT_RIGHT,
-                         Op.SWAP_ROWS):
-            noise[i] = noise[ops_[0]] + ks
+        elif node.op == Op.RELINEARIZE:
+            noise[i] = mdl.relinearize(noise[ops_[0]])
+        elif node.op in (Op.SHIFT_LEFT, Op.SHIFT_RIGHT, Op.SWAP_ROWS):
+            noise[i] = mdl.rotation(noise[ops_[0]])
         elif node.op == Op.OUTPUT_CIPHERTEXT:
             noise[i] = noise[ops_[0]]
         else:
@@ -86,13 +134,68 @@ def predicted_budget(prog: FheProgram, params) -> float:
     return -(predict_noise(prog, params) + 1.0)
 
 
-class MeasuredModel:
-    """Empirical model: encrypt fresh ciphertexts, run the lowered
-    program, measure the worst output budget on device (reference:
-    `measured_model.rs:57-130` — it likewise executes the program).
-    """
+# ---------------------------------------------------------------------------
+# measured model (runs the real kernels)
+# ---------------------------------------------------------------------------
 
-    def __init__(self, compiled, params, seed: int = 0):
+
+@dataclass(frozen=True)
+class TargetNoiseLevel:
+    """Input-noise specification for `MeasuredModel` (reference:
+    `TargetNoiseLevel`, measured_model.rs:16-39). budget=None means a
+    fresh encryption."""
+
+    budget: float | None = None
+
+    @staticmethod
+    def fresh() -> "TargetNoiseLevel":
+        return TargetNoiseLevel(None)
+
+
+def create_ciphertext_with_noise_level(ctx, pk, sk, rlk, target_budget,
+                                       key):
+    """Synthesize a ciphertext of 0 with ~`target_budget` bits left by
+    burning budget: repeated squaring (quadratic), then doubling
+    (linear) — the reference's escalation ladder
+    (`create_ciphertext_with_noise_level`, measured_model.rs:57-225)."""
+    import jax
+    import numpy as np
+
+    from sunscreen_tpu.bfv import ops
+    from sunscreen_tpu.bfv.keys import KswKey
+
+    zero = np.zeros(ctx.n, dtype=np.uint64)
+    ct = ops.encrypt(ctx, pk, zero, key)
+    if float(ops.invariant_noise_budget(ctx, sk, ct)) <= target_budget:
+        return ct
+    dbl = jax.jit(lambda c: ops.add(ctx, c, c))
+    ladder = [dbl]
+    if rlk is not None:
+        sq = jax.jit(lambda c, k0, k1: ops.multiply_relin(
+            ctx, c, c, KswKey(k0, k1)))
+        ladder = [lambda c: sq(c, rlk.k0, rlk.k1), dbl]
+    # keep the last ciphertext whose budget stays >= target, escalating
+    # from the coarse burner (squaring) to the fine one (doubling)
+    for burn in ladder:
+        while True:
+            cand = burn(ct)
+            b = float(ops.invariant_noise_budget(ctx, sk, cand))
+            if b < target_budget:
+                break
+            ct = cand
+            if b == target_budget:
+                return ct
+    return ct
+
+
+class MeasuredModel:
+    """Empirical model: encrypt inputs (fresh or at a target noise
+    level), run the lowered program, measure output budgets on device
+    (reference: `MeasuredModel`, measured_model.rs — "all other models
+    should bound its results from above")."""
+
+    def __init__(self, compiled, params, seed: int = 0,
+                 input_targets: list | None = None):
         import jax
         import numpy as np
 
@@ -103,8 +206,11 @@ class MeasuredModel:
         key = jax.random.key(seed)
         sk = keys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
         pk = keys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+        need_rlk = compiled.requires_relin_keys or any(
+            t is not None and t.budget is not None
+            for t in (input_targets or []))
         rlk = keys.gen_relin_key(ctx, sk, jax.random.fold_in(key, 2)) \
-            if compiled.requires_relin_keys else None
+            if need_rlk else None
         gks = None
         if compiled.requires_galois_keys:
             gks = keys.gen_galois_keys(
@@ -116,8 +222,17 @@ class MeasuredModel:
         n_pt = sum(1 for nd in compiled.nodes
                    if nd.op == Op.INPUT_PLAINTEXT)
         zero = np.zeros(ctx.n, dtype=np.uint64)
-        args = [ops.encrypt(ctx, pk, zero, jax.random.fold_in(key, 10 + i))
-                for i in range(n_ct)]
+        targets = input_targets or [TargetNoiseLevel.fresh()] * n_ct
+        assert len(targets) >= n_ct
+        args = []
+        for i in range(n_ct):
+            tgt = targets[i]
+            k = jax.random.fold_in(key, 10 + i)
+            if tgt is None or tgt.budget is None:
+                args.append(ops.encrypt(ctx, pk, zero, k))
+            else:
+                args.append(create_ciphertext_with_noise_level(
+                    ctx, pk, sk, rlk, tgt.budget, k))
         args += [zero] * n_pt
         outs = fn(*args)
         self.budgets = [

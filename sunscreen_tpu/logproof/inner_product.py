@@ -53,7 +53,16 @@ class InnerProductProof:
 
     @staticmethod
     def from_bytes(data: bytes) -> "InnerProductProof":
+        """Raises `cv.DecodeError` on truncated input, absurd round
+        counts, or non-canonical point/scalar encodings."""
+        if len(data) < 4:
+            raise cv.DecodeError("truncated inner-product proof")
         lg = int.from_bytes(data[:4], "little")
+        if lg > 64:  # 2^64 elements is unrepresentable — reject early
+            raise cv.DecodeError("implausible round count")
+        need = 4 + 64 * lg + 64 + 96
+        if len(data) != need:
+            raise cv.DecodeError("inner-product proof length mismatch")
         off = 4
         t1, tm1 = [], []
         for _ in range(lg):
@@ -63,8 +72,10 @@ class InnerProductProof:
         w = cv.decode(data[off:off + 32])
         wp = cv.decode(data[off + 32:off + 64])
         off += 64
-        z1, z2, tau = (int.from_bytes(data[off + 32 * i:off + 32 * (i + 1)],
-                                      "little") for i in range(3))
+        z1, z2, tau = (
+            cv.scalar_from_canonical_bytes(data[off + 32 * i:
+                                                off + 32 * (i + 1)])
+            for i in range(3))
         return InnerProductProof(t1, tm1, w, wp, z1, z2, tau)
 
 

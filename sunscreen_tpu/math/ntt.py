@@ -32,11 +32,29 @@ from sunscreen_tpu.math import primes
 
 U64 = jnp.uint64
 
-# Compact mode trades ~2-3x runtime for ~log2(N)x smaller XLA graphs
-# (each transform becomes one fori_loop body instead of log2(N) unrolled
-# stages) — useful when cold-compile latency dominates, e.g. through a
-# tunneled TPU. Opt in with SUNSCREEN_TPU_COMPACT_NTT=1.
+# NTT lowering mode:
+#   "unrolled" — log2(N) traced stages of reshapes (fastest CPU compile
+#                known-good; big XLA graphs)
+#   "compact"  — one constant-geometry (Pease) fori_loop stage; ~log2(N)x
+#                smaller graphs, compiles on TPU (the round-1
+#                gather/scatter loop form did not)
+#   "matmul"   — four-step MXU decomposition (math/mntt.py); requires
+#                q < 2^57
+# Default: SUNSCREEN_TPU_NTT env var, else legacy SUNSCREEN_TPU_COMPACT_NTT,
+# else backend-specific (chosen from real-TPU measurements: matmul on
+# tpu-like backends, unrolled on cpu).
 COMPACT_NTT = os.environ.get("SUNSCREEN_TPU_COMPACT_NTT", "") == "1"
+
+
+def resolve_mode(mode: str | None = None) -> str:
+    if mode:
+        return mode
+    env = os.environ.get("SUNSCREEN_TPU_NTT", "")
+    if env:
+        return env
+    if COMPACT_NTT:
+        return "compact"
+    return "matmul" if jax.default_backend() != "cpu" else "unrolled"
 
 
 def _bit_reverse(x: int, bits: int) -> int:
@@ -57,11 +75,14 @@ class NttPlan:
     Transforms arrays of shape [..., k, N] where k == len(moduli).
     """
 
-    def __init__(self, n: int, moduli: tuple[int, ...]):
+    def __init__(self, n: int, moduli: tuple[int, ...],
+                 mode: str = "unrolled"):
         assert n & (n - 1) == 0, "N must be a power of two"
+        assert mode in ("unrolled", "compact")
         self.n = n
         self.log_n = n.bit_length() - 1
         self.moduli = tuple(moduli)
+        self.mode = mode
         k = len(moduli)
 
         psi_rev = np.empty((k, n), dtype=np.uint64)
@@ -102,19 +123,25 @@ class NttPlan:
         self.ratio_hi = jnp.asarray(ratio_hi)
         self.ratio_lo = jnp.asarray(ratio_lo)
 
-    # -- compact (fori_loop) stage tables -----------------------------------
+    # -- compact (Pease constant-geometry) stage tables ---------------------
 
     def _stage_tables(self):
-        """Lazily built per-stage flat butterfly tables for the compact
-        path: U/V index arrays [log_n, N/2] and twiddle (+Shoup) tables
-        [log_n, k, N/2]. Output ordering is IDENTICAL to the unrolled
-        path (same algorithm, loop form only)."""
+        """Per-stage twiddle tables [log_n, k, N/2] for the
+        constant-geometry (Pease) loop form.
+
+        Derivation: run the standard in-place DIT network through the
+        fixed dataflow "read pairs (p, p+N/2), butterfly, write
+        interleaved (2p, 2p+1)". Tracking which in-place index each
+        physical slot holds (`logical`), the stage-s pairing invariant
+        logical[p+N/2] == logical[p] + t holds at every stage, and the
+        final layout is the identity — so the loop form is bit-identical
+        to the unrolled path with NO gather/scatter inside the loop
+        (this is what lets Mosaic/XLA-TPU compile it; the round-1
+        take/at-set form never finished compiling on TPU)."""
         if getattr(self, "_stages", None) is not None:
             return self._stages
         n, log_n, k = self.n, self.log_n, len(self.moduli)
         half = n // 2
-        U = np.empty((log_n, half), dtype=np.int32)
-        V = np.empty((log_n, half), dtype=np.int32)
         W = np.empty((log_n, k, half), dtype=np.uint64)
         WS = np.empty((log_n, k, half), dtype=np.uint64)
         IW = np.empty((log_n, k, half), dtype=np.uint64)
@@ -123,56 +150,73 @@ class NttPlan:
         psi_sh = np.asarray(self.psi_rev_sh)
         ipsi = np.asarray(self.ipsi_rev)
         ipsi_sh = np.asarray(self.ipsi_rev_sh)
+        logical = np.arange(n, dtype=np.int64)
         for s in range(log_n):
             mm = 1 << s
             t = n >> (s + 1)
-            p = 0
-            for j in range(mm):
-                base = j * 2 * t
-                for i in range(t):
-                    U[s, p] = base + i
-                    V[s, p] = base + t + i
-                    W[s, :, p] = psi[:, mm + j]
-                    WS[s, :, p] = psi_sh[:, mm + j]
-                    IW[s, :, p] = ipsi[:, mm + j]
-                    IWS[s, :, p] = ipsi_sh[:, mm + j]
-                    p += 1
-        self._stages = tuple(jnp.asarray(a)
-                             for a in (U, V, W, WS, IW, IWS))
+            a = logical[:half]
+            assert np.array_equal(logical[half:], a + t), \
+                "Pease pairing invariant broken"
+            idx = mm + a // (2 * t)          # psi_rev index per butterfly
+            W[s] = psi[:, idx]
+            WS[s] = psi_sh[:, idx]
+            IW[s] = ipsi[:, idx]
+            IWS[s] = ipsi_sh[:, idx]
+            nxt = np.empty(n, dtype=np.int64)
+            nxt[0::2] = a
+            nxt[1::2] = a + t
+            logical = nxt
+        assert np.array_equal(logical, np.arange(n)), \
+            "Pease network must land in-place"
+        # cache HOST arrays: converting to device arrays here would leak
+        # tracers when first called under jit. Callers jnp.asarray per
+        # trace (constant-folded by XLA).
+        self._stages = (W, WS, IW, IWS)
         return self._stages
 
     def fwd_compact(self, x):
-        """`fwd` as one lax.fori_loop (identical output ordering)."""
-        U, V, W, WS, _, _ = self._stage_tables()
-        k = len(self.moduli)
+        """`fwd` as one lax.fori_loop over a constant-geometry stage
+        (bit-identical output). Each stage: split halves, butterfly,
+        interleave — static slices/reshapes only; the stage's twiddles
+        are a dynamic-slice of a precomputed [log_n, k, N/2] table."""
+        W, WS, _, _ = self._stage_tables()
+        W, WS = jnp.asarray(W), jnp.asarray(WS)
+        n, k = self.n, len(self.moduli)
+        half = n // 2
         q = self.q.reshape(k, 1)
 
         def body(s, x):
-            u = jnp.take(x, U[s], axis=-1)
+            u = x[..., :half]
             v = m.reduce_2q(m.mul_mod_shoup(
-                jnp.take(x, V[s], axis=-1), W[s], WS[s], q), q)
-            x = x.at[..., U[s]].set(m.add_mod(u, v, q))
-            return x.at[..., V[s]].set(m.sub_mod(u, v, q))
+                x[..., half:], W[s], WS[s], q), q)
+            a = m.add_mod(u, v, q)
+            b = m.sub_mod(u, v, q)
+            return jnp.stack((a, b), axis=-1).reshape(*x.shape[:-1], n)
 
-        return jax.lax.fori_loop(0, self.log_n, body, x)
+        return jax.lax.fori_loop(0, self.log_n, body, x,
+                                 unroll=False)
 
     def inv_compact(self, x):
-        """`inv` as one lax.fori_loop (identical output ordering)."""
-        U, V, _, _, IW, IWS = self._stage_tables()
-        k = len(self.moduli)
+        """`inv` as one lax.fori_loop (bit-identical output): the exact
+        mirror of `fwd_compact` — deinterleave, inverse butterfly,
+        concatenate halves."""
+        _, _, IW, IWS = self._stage_tables()
+        IW, IWS = jnp.asarray(IW), jnp.asarray(IWS)
+        n, k = self.n, len(self.moduli)
+        half = n // 2
         q = self.q.reshape(k, 1)
 
         def body(i, x):
             s = self.log_n - 1 - i
-            y0 = jnp.take(x, U[s], axis=-1)
-            y1 = jnp.take(x, V[s], axis=-1)
+            xv = x.reshape(*x.shape[:-1], half, 2)
+            y0 = xv[..., 0]
+            y1 = xv[..., 1]
             u = m.add_mod(y0, y1, q)
             d = m.sub_mod(y0, y1, q)
             v = m.reduce_2q(m.mul_mod_shoup(d, IW[s], IWS[s], q), q)
-            x = x.at[..., U[s]].set(u)
-            return x.at[..., V[s]].set(v)
+            return jnp.concatenate((u, v), axis=-1)
 
-        x = jax.lax.fori_loop(0, self.log_n, body, x)
+        x = jax.lax.fori_loop(0, self.log_n, body, x, unroll=False)
         q2 = self.q.reshape(k, 1)
         return m.reduce_2q(
             m.mul_mod_shoup(x, self.n_inv.reshape(k, 1),
@@ -182,7 +226,7 @@ class NttPlan:
 
     def fwd(self, x):
         """Forward negacyclic NTT: [..., k, N] natural -> bit-reversed."""
-        if COMPACT_NTT:
+        if self.mode == "compact":
             return self.fwd_compact(x)
         n, k = self.n, len(self.moduli)
         batch = x.shape[:-2]
@@ -203,7 +247,7 @@ class NttPlan:
 
     def inv(self, x):
         """Inverse negacyclic NTT: bit-reversed -> natural order."""
-        if COMPACT_NTT:
+        if self.mode == "compact":
             return self.inv_compact(x)
         n, k = self.n, len(self.moduli)
         batch = x.shape[:-2]
@@ -240,5 +284,18 @@ class NttPlan:
 
 
 @lru_cache(maxsize=64)
-def get_plan(n: int, moduli: tuple[int, ...]) -> NttPlan:
-    return NttPlan(n, moduli)
+def _plan_cached(n: int, moduli: tuple[int, ...], mode: str):
+    if mode == "matmul":
+        from sunscreen_tpu.math import mntt
+        return mntt.MatmulNttPlan(n, moduli)
+    return NttPlan(n, moduli, mode)
+
+
+def get_plan(n: int, moduli: tuple[int, ...], mode: str | None = None):
+    """Shared plan cache. `mode` None -> `resolve_mode()` default.
+    Falls back from "matmul" to "compact" when a modulus exceeds the
+    MXU bound (q >= 2^57, e.g. TFHE's CRT primes)."""
+    mode = resolve_mode(mode)
+    if mode == "matmul" and max(q.bit_length() for q in moduli) > 57:
+        mode = "compact"
+    return _plan_cached(n, tuple(moduli), mode)

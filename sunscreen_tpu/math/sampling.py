@@ -16,14 +16,38 @@ Blake2-based PRNG stream is out of scope by design — see SURVEY.md §7
 
 from __future__ import annotations
 
+import secrets
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sunscreen_tpu.math import modular as m
 
 U64 = jnp.uint64
 
 CBD_WEIGHT = 21  # CBD(21): variance 21/2, sigma ~ 3.24 (SEAL sigma = 3.2)
+
+
+def fresh_key():
+    """A PRNG key with full OS entropy (128-bit rbg key data).
+
+    The default threefry impl's key is only 64 bits, which is too small
+    a space for encryption randomness; the rbg impl carries 4x32-bit key
+    words, all drawn here from `secrets.token_bytes`. This is the
+    default randomness source for keygen/encrypt; passing an explicit
+    integer seed instead is a deterministic TEST-ONLY mode (mirrors the
+    reference's `deterministic` feature being opt-in,
+    `sunscreen_runtime/src/runtime.rs:464-529`).
+    """
+    data = np.frombuffer(secrets.token_bytes(16), dtype=np.uint32)
+    return jax.random.wrap_key_data(jnp.asarray(data), impl="rbg")
+
+
+def key_from_seed(seed: int | None):
+    """seed=None -> fresh OS-entropy key; int seed -> deterministic
+    threefry key (test-only, insecure)."""
+    return fresh_key() if seed is None else jax.random.key(seed)
 
 
 def uniform_mod_q(key, shape, q_limbs, ratio_hi, ratio_lo):
@@ -34,7 +58,7 @@ def uniform_mod_q(key, shape, q_limbs, ratio_hi, ratio_lo):
     """
     k = q_limbs.shape[0]
     full_shape = shape[:-1] + (k, shape[-1])
-    hi = jax.random.bits(key, full_shape, dtype=jnp.uint32).astype(U64)
+    hi = jax.random.bits(key, full_shape, dtype=jnp.uint64)
     key2 = jax.random.fold_in(key, 1)
     lo = jax.random.bits(key2, full_shape, dtype=jnp.uint64)
     # mask hi so that hi*2^64+lo < q*2^64 (Barrett precondition): keep the

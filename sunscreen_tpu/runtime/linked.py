@@ -66,12 +66,29 @@ class Sdlp:
 @dataclass
 class SchnorrBridge:
     """Generalized Schnorr PoK binding w_shared's bits to the BP
-    commitments."""
+    commitments.
+
+    Soundness: the bridge proves knowledge of BOTH an opening of
+    w_shared over (h_shared, u) AND an opening of w - w_shared over
+    (h_unshared, g, u), under one challenge. Summed, these give an
+    opening of the SDLP commitment w over the full independent
+    generator set (h, g, u); by Pedersen binding this opening must
+    coincide coordinate-wise with the (s_1, s_2, rho) opening the SDLP
+    extractor produces, so the bridged exponents over h_shared ARE the
+    SDLP's shared s_1 bits. Without the unshared half a prover could
+    split w arbitrarily and 'link' an unrelated value (round-1 advisor
+    finding). The reference gets the same guarantee by embedding the
+    shared generators in the BP's G vector and checking
+    A_I1_shared == w_shared (`sunscreen_runtime/src/linked.rs:285`).
+    """
 
     a_h: cv.Point           # commitment over (h_shared, u)
+    a_un: cv.Point          # commitment over (h_unshared, g, u)
     a_v: list[cv.Point]     # commitments over (B, B_blinding) per V_j
     z_bits: list[int]
+    z_un: list[int]         # responses: h_unshared coords then g coords
     z_rho_h: int
+    z_rho_un: int
     z_rho_v: list[int]
 
 
@@ -106,8 +123,9 @@ class LinkedProof:
         if len(self.bp_proof.commitments) < n_linked:
             return False
         vs = self.bp_proof.commitments[:n_linked]
-        return _verify_bridge(self.bridge, self.sdlp.w_shared, vs,
-                              self.shared_slices, self.weights, gens, u)
+        return _verify_bridge(self.bridge, self.sdlp.w_shared,
+                              self.sdlp.w, vs, self.shared_slices,
+                              self.weights, gens, u)
 
 
 _GEN_CACHE: dict[int, lr.LogProofGenerators] = {}
@@ -121,63 +139,86 @@ def _cached_generators(l: int) -> lr.LogProofGenerators:
 
 # -- the Schnorr bridge ------------------------------------------------------
 
-def _bridge_transcript(w_shared, vs, a_h, a_v) -> int:
+def _bridge_transcript(w_shared, w, vs, a_h, a_un, a_v) -> int:
     t = Transcript(b"sunscreen_tpu linked bridge")
     t.append_point(b"w_shared", w_shared)
+    t.append_point(b"w", w)
     for v in vs:
         t.append_point(b"V", v)
     t.append_point(b"A_h", a_h)
+    t.append_point(b"A_un", a_un)
     for a in a_v:
         t.append_point(b"A_v", a)
     return t.challenge_scalar(b"c")
 
 
-def _prove_bridge(bits, rho_h, rho_vs, w_shared, vs, slices, weights,
-                  gens, u) -> SchnorrBridge:
+def _prove_bridge(bits, unshared_exps, rho_h, rho_vs, w_shared, w, vs,
+                  slices, weights, gens, u) -> SchnorrBridge:
+    """bits: shared s_1 bits. unshared_exps: s_1 at unshared indices
+    followed by all of s_2 (the opening of w - w_shared over
+    h_unshared + g). rho_h: the blinding on BOTH halves (half_rho)."""
     pc = cached_pedersen()
     n_bits = len(bits)
     y_bits = [secrets.randbelow(L) for _ in range(n_bits)]
+    y_un = [secrets.randbelow(L) for _ in unshared_exps]
     y_rho_h = secrets.randbelow(L)
+    y_rho_un = secrets.randbelow(L)
     y_rho_v = [secrets.randbelow(L) for _ in vs]
-    h_shared = _h_shared(gens, slices)
+    h_shared, h_unshared = _split_h(gens, slices)
     a_h = cv.msm(y_bits + [y_rho_h], h_shared + [u])
+    a_un = cv.msm(y_un + [y_rho_un], h_unshared + list(gens.g) + [u])
     a_v = []
     for j, (lo, hi) in enumerate(slices):
-        wsum = sum(w * y for w, y in zip(
+        wsum = sum(w_ * y for w_, y in zip(
             weights[j], y_bits[_offset(slices, j):
                                _offset(slices, j) + hi - lo])) % L
         a_v.append(pc.B * wsum + pc.B_blinding * y_rho_v[j])
-    c = _bridge_transcript(w_shared, vs, a_h, a_v)
+    c = _bridge_transcript(w_shared, w, vs, a_h, a_un, a_v)
     z_bits = [(y + c * b) % L for y, b in zip(y_bits, bits)]
+    z_un = [(y + c * x) % L for y, x in zip(y_un, unshared_exps)]
     z_rho_h = (y_rho_h + c * rho_h) % L
+    z_rho_un = (y_rho_un + c * rho_h) % L
     z_rho_v = [(y + c * r) % L for y, r in zip(y_rho_v, rho_vs)]
-    return SchnorrBridge(a_h, a_v, z_bits, z_rho_h, z_rho_v)
+    return SchnorrBridge(a_h, a_un, a_v, z_bits, z_un, z_rho_h,
+                         z_rho_un, z_rho_v)
 
 
 def _offset(slices, j) -> int:
     return sum(hi - lo for lo, hi in slices[:j])
 
 
-def _h_shared(gens, slices):
-    out = []
+def _split_h(gens, slices):
+    """(h_shared, h_unshared) — generators inside/outside the shared
+    bit ranges, each in ascending index order."""
+    shared_idx = set()
     for lo, hi in slices:
-        out.extend(gens.h[lo:hi])
-    return out
+        shared_idx.update(range(lo, hi))
+    h_shared = []
+    for lo, hi in slices:
+        h_shared.extend(gens.h[lo:hi])
+    h_unshared = [p for i, p in enumerate(gens.h) if i not in shared_idx]
+    return h_shared, h_unshared
 
 
-def _verify_bridge(br: SchnorrBridge, w_shared, vs, slices, weights,
+def _verify_bridge(br: SchnorrBridge, w_shared, w, vs, slices, weights,
                    gens, u) -> bool:
     pc = cached_pedersen()
-    h_shared = _h_shared(gens, slices)
-    if len(br.z_bits) != len(h_shared) or len(br.z_rho_v) != len(vs):
+    h_shared, h_unshared = _split_h(gens, slices)
+    if (len(br.z_bits) != len(h_shared)
+            or len(br.z_un) != len(h_unshared) + len(gens.g)
+            or len(br.z_rho_v) != len(vs)):
         return False
-    c = _bridge_transcript(w_shared, vs, br.a_h, br.a_v)
+    c = _bridge_transcript(w_shared, w, vs, br.a_h, br.a_un, br.a_v)
     lhs = cv.msm(br.z_bits + [br.z_rho_h], h_shared + [u])
     if lhs != br.a_h + w_shared * c:
         return False
+    lhs_un = cv.msm(br.z_un + [br.z_rho_un],
+                    h_unshared + list(gens.g) + [u])
+    if lhs_un != br.a_un + (w - w_shared) * c:
+        return False
     for j, (lo, hi) in enumerate(slices):
         off = _offset(slices, j)
-        wsum = sum(w * z for w, z in zip(
+        wsum = sum(w_ * z for w_, z in zip(
             weights[j], br.z_bits[off:off + hi - lo])) % L
         lhs_v = pc.B * wsum + pc.B_blinding * br.z_rho_v[j]
         if lhs_v != br.a_v[j] + vs[j] * c:
@@ -216,9 +257,8 @@ class LogProofBuilder:
                                       link=True)
 
     def _encrypt_internal(self, value, public_key, seed, link=False):
-        import jax
-
         from sunscreen_tpu.bfv import ops as bops
+        from sunscreen_tpu.math import sampling
         from sunscreen_tpu.runtime.runtime import Ciphertext
         tcls = type(value)
         polys = tcls.encode(value.value, self.ctx.params)
@@ -231,8 +271,7 @@ class LogProofBuilder:
             assert np.all(pt <= 1), (
                 "round-1 linked messages need non-negative binary digit "
                 "encodings (Unsigned64 / non-negative Signed)")
-        key = jax.random.key(np.random.randint(0, 2**31)
-                             if seed is None else seed)
+        key = sampling.key_from_seed(seed)
         ct, (u, e0, e1) = bops.encrypt_return_components(
             self.ctx, public_key.public_key, pt, key)
         mid = self.statements.add_message(pt)
@@ -294,14 +333,20 @@ class LogProofBuilder:
 
         # bridge
         s_1 = lr._binary_expand(vk, pk_know.s)
+        s_2 = [1 - b for b in s_1]
+        shared_idx = set()
+        for lo, hi in slices:
+            shared_idx.update(range(lo, hi))
         bits = []
         for lo, hi in slices:
             bits.extend(s_1[lo:hi])
+        unshared_exps = [s_1[i] for i in range(vk.l)
+                         if i not in shared_idx] + s_2
         weights = [m.weights[:hi - lo]
                    for m, (lo, hi) in zip(self._links, slices)]
         vs = bp_proof.commitments[:len(self._links)]
-        bridge = _prove_bridge(bits, half_rho, blindings,
-                               sdlp_proof.w_shared, vs, slices, weights,
-                               gens, u)
+        bridge = _prove_bridge(bits, unshared_exps, half_rho, blindings,
+                               sdlp_proof.w_shared, sdlp_proof.w, vs,
+                               slices, weights, gens, u)
         return LinkedProof(sdlp_proof, vk, slices, weights, bp_proof,
                            bridge)

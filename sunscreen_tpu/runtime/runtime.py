@@ -21,6 +21,7 @@ from sunscreen_tpu.bfv import ops as bops
 from sunscreen_tpu.bfv.params import BfvParams
 from sunscreen_tpu.compiler.compiler import CompiledFheProgram
 from sunscreen_tpu.compiler.lower import lower_program
+from sunscreen_tpu.math import sampling
 from sunscreen_tpu.types.bfv_types import BfvType, resolve_type
 
 
@@ -77,9 +78,16 @@ class FheRuntime:
 
     # -- keys ----------------------------------------------------------------
 
-    def generate_keys(self, seed: int = 0, galois: bool = True,
+    def generate_keys(self, seed: int | None = None, galois: bool = True,
                       relin: bool = True
                       ) -> tuple[PublicKeySet, PrivateKey]:
+        """Generate secret/public/relin/galois keys.
+
+        seed=None (the default) draws full OS entropy
+        (`sampling.fresh_key`). Passing an integer seed is a
+        deterministic TEST-ONLY mode — every caller with the same seed
+        gets the same secret key.
+        """
         ctx = self.ctx
 
         def build(key):
@@ -92,8 +100,9 @@ class FheRuntime:
                 bkeys.default_rotation_elements(ctx)) if galois else None
             return sk, pk, rlk, gks
 
+        key = sampling.key_from_seed(seed)
         sk, pk, rlk, gks = self._jitted(
-            ("keygen", galois, relin), build)(jax.random.key(seed))
+            ("keygen", galois, relin, seed is None), build)(key)
         return PublicKeySet(pk, rlk, gks), PrivateKey(sk)
 
     # -- encrypt / decrypt ---------------------------------------------------
@@ -104,10 +113,10 @@ class FheRuntime:
         polys = tcls.encode(value.value, self.params)
         if polys.ndim == 1:
             polys = polys[None, :]
-        key = jax.random.key(np.random.randint(0, 2**31)
-                             if seed is None else seed)
-        enc = self._jitted("encrypt", lambda pk, p, k: bops.encrypt(
-            self.ctx, pk, p, k))
+        key = sampling.key_from_seed(seed)
+        enc = self._jitted(("encrypt", seed is None),
+                           lambda pk, p, k: bops.encrypt(
+                               self.ctx, pk, p, k))
         cts = [enc(public_key.public_key, polys[i],
                    jax.random.fold_in(key, i))
                for i in range(polys.shape[0])]

@@ -166,7 +166,12 @@ class BulletproofsProof:
 
     @staticmethod
     def from_bytes(data: bytes) -> "BulletproofsProof":
+        """Raises `cv.DecodeError` on truncated or malformed input."""
+        if len(data) < 4:
+            raise cv.DecodeError("truncated bulletproofs proof")
         m = int.from_bytes(data[:4], "little")
+        if len(data) < 4 + 32 * m:
+            raise cv.DecodeError("bulletproofs proof length mismatch")
         pts = [cv.decode(data[4 + 32 * i: 4 + 32 * (i + 1)])
                for i in range(m)]
         return BulletproofsProof(

@@ -220,6 +220,19 @@ def scalar_to_bytes(s: int) -> bytes:
     return (s % L).to_bytes(32, "little")
 
 
+def scalar_from_canonical_bytes(data: bytes) -> int:
+    """32 bytes -> scalar, rejecting non-canonical encodings >= L
+    (dalek `Scalar::from_canonical_bytes`). Proof deserializers use
+    this so a proof cannot be mauled by adding multiples of L to a
+    response scalar."""
+    if len(data) != 32:
+        raise DecodeError("scalar needs 32 bytes")
+    s = int.from_bytes(data, "little")
+    if s >= L:
+        raise DecodeError("non-canonical scalar")
+    return s
+
+
 def scalar_inv(s: int) -> int:
     return pow(s, -1, L)
 

@@ -111,20 +111,30 @@ class R1CSProof:
 
     @staticmethod
     def from_bytes(data: bytes) -> "R1CSProof":
+        """Raises `cv.DecodeError` on truncated input, absurd round
+        counts, or non-canonical point/scalar encodings (including
+        response scalars >= L, which would otherwise make the encoding
+        malleable)."""
+        if len(data) < 8 * 32 + 3 * 32 + 4:
+            raise cv.DecodeError("truncated R1CS proof")
         pts = [cv.decode(data[i * 32:(i + 1) * 32]) for i in range(8)]
         off = 8 * 32
-        sc = [int.from_bytes(data[off + i * 32: off + (i + 1) * 32],
-                             "little") for i in range(3)]
+        sc = [cv.scalar_from_canonical_bytes(
+            data[off + i * 32: off + (i + 1) * 32]) for i in range(3)]
         off += 3 * 32
         lg = int.from_bytes(data[off:off + 4], "little")
         off += 4
+        if lg > 64:
+            raise cv.DecodeError("implausible round count")
+        if len(data) != off + 64 * lg + 64:
+            raise cv.DecodeError("R1CS proof length mismatch")
         Ls, Rs = [], []
         for _ in range(lg):
             Ls.append(cv.decode(data[off:off + 32]))
             Rs.append(cv.decode(data[off + 32:off + 64]))
             off += 64
-        a = int.from_bytes(data[off:off + 32], "little")
-        b = int.from_bytes(data[off + 32:off + 64], "little")
+        a = cv.scalar_from_canonical_bytes(data[off:off + 32])
+        b = cv.scalar_from_canonical_bytes(data[off + 32:off + 64])
         return R1CSProof(*pts, *sc, ipp.InnerProductProof(Ls, Rs, a, b))
 
 

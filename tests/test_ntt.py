@@ -119,3 +119,39 @@ def test_compact_path_bit_identical():
         np.asarray(plan.inv(f)), np.asarray(plan.inv_compact(f)))
     np.testing.assert_array_equal(
         np.asarray(plan.inv_compact(plan.fwd_compact(x))), np.asarray(x))
+
+
+def test_matmul_plan_matches_butterfly():
+    # MXU four-step plan: natural-order NTT domain, but bit-exact in
+    # coefficient domain (roundtrip + products agree with NttPlan).
+    from sunscreen_tpu.math import mntt
+    n = 256
+    mods = tuple(primes.gen_ntt_primes(50, 2, n) +
+                 primes.gen_ntt_primes(30, 1, n))
+    mp = mntt.get_plan(n, mods)
+    bp = ntt.get_plan(n, mods)
+    rng = np.random.default_rng(7)
+    qarr = np.array(mods, dtype=np.uint64).reshape(1, len(mods), 1)
+    x = rng.integers(0, 1 << 49, size=(2, len(mods), n),
+                     dtype=np.uint64) % qarr
+    y = rng.integers(0, 1 << 49, size=(2, len(mods), n),
+                     dtype=np.uint64) % qarr
+    np.testing.assert_array_equal(np.asarray(mp.inv(mp.fwd(x))), x)
+    np.testing.assert_array_equal(
+        np.asarray(mp.negacyclic_mul(x, y)),
+        np.asarray(bp.negacyclic_mul(x, y)))
+
+
+def test_matmul_plan_jit_and_odd_split():
+    # N with an odd log2 (n1 != n2) + under jit
+    from sunscreen_tpu.math import mntt
+    n = 512
+    mods = tuple(primes.gen_ntt_primes(45, 2, n))
+    mp = mntt.get_plan(n, mods)
+    assert mp.n1 != mp.n2
+    rng = np.random.default_rng(11)
+    qarr = np.array(mods, dtype=np.uint64).reshape(len(mods), 1)
+    x = rng.integers(0, 1 << 44, size=(len(mods), n),
+                     dtype=np.uint64) % qarr
+    f = jax.jit(lambda v: mp.inv(mp.fwd(v)))
+    np.testing.assert_array_equal(np.asarray(f(x)), x)
