@@ -70,6 +70,11 @@ def _ntt_pk_to_coeff(ctx: BfvContext, pk_comp) -> list[int]:
     return _rns_to_int_poly(ctx, np.asarray(coeff))
 
 
+def _lift_t(c: int, t: int) -> int:
+    """Centered representative of c mod t (digit lift)."""
+    return c - t if c > t // 2 else c
+
+
 def _signed_poly_bounds(bits: int, d: int) -> list[int]:
     return [bits] * d
 
@@ -194,12 +199,20 @@ class BfvStatements:
             s_cols[col] = [c % q for c in poly_signed]
             bounds_cols[col] = _signed_poly_bounds(bits, d)
 
-        # message + remainder witness columns
+        # message + remainder witness columns. Message coefficients are
+        # stored CENTERED (lift mod t): digit c > t/2 becomes c - t, and
+        # the q_mod_t*1 shift moves into the rounding remainder (since
+        # delta*t = q - q_mod_t). This is what lets signed digit
+        # encodings (Signed/BfvSigned links) use a 1-magnitude-bit
+        # bound and makes the linked value sum lift(c_j)*2^j a LINEAR
+        # function of the s_1 bits (the reference instead remaps
+        # in-circuit via SignedModulus — `bfv_plaintext.rs:95-107`).
         for mi, msg in enumerate(self.messages):
-            set_s(mi, [int(c) for c in msg], msg_bits)
+            set_s(mi, [_lift_t(int(c), t) for c in msg], msg_bits)
         for si, st in enumerate(self.statements):
             msg = self.messages[st.message_id]
-            r = [((q_mod_t * int(c)) * 2 + t) // (2 * t) for c in msg]
+            r = [((q_mod_t * int(c)) * 2 + t) // (2 * t)
+                 - (q_mod_t if int(c) > t // 2 else 0) for c in msg]
             set_s(rem_col[si], r, rem_bits)
 
         for si, st in enumerate(self.statements):

@@ -66,53 +66,62 @@ def _u8_limbs_host(mat: np.ndarray, n_limbs: int) -> np.ndarray:
 
 def _build_big(m_small: np.ndarray, n_limbs: int) -> np.ndarray:
     """[k, n_in, n_out] u64 DFT matrix -> block-convolution operand
-    [k, n_in, nl, n_c*n_out] u8 with big[:, i, a, c*n_out + j] =
-    byte_b(M[i, j]) where b = c - a (zero outside 0..nl-1).
+    [k, n_in*8, n_c*n_out] u8 with big[:, i*8 + a, c*n_out + j] =
+    byte_b(M[i, j]) where b = c - a (zero outside 0..nl-1; rows for
+    byte indices a >= nl are zero).
 
-    One einsum contracting (i, a) then computes ALL limb-convolution
-    partials P_c = sum_{a+b=c} A_a M_b at once — the 49-separate-dots
-    form wrote 49 full-size i32 arrays through HBM (~390 B/element, the
-    measured bottleneck); this form writes n_c*4 bytes once.
+    The A side is bitcast u64 -> [..., n_in, 8] u8 and reshaped to a
+    single fused contraction axis [..., n_in*8] (a pure view — no
+    strided byte slices), so ONE MXU einsum computes ALL
+    limb-convolution partials P_c = sum_{a+b=c} A_a M_b. The earlier
+    49-separate-dots form wrote 49 full-size i32 arrays through HBM
+    (~390 B/element, the measured bottleneck).
     """
     k, n_in, n_out = m_small.shape
     limbs = _u8_limbs_host(m_small, n_limbs)          # [nl, k, n_in, n_out]
     n_c = 2 * n_limbs - 1
-    big = np.zeros((k, n_in, n_limbs, n_c * n_out), dtype=np.uint8)
+    big = np.zeros((k, n_in * 8, n_c * n_out), dtype=np.uint8)
     for a in range(n_limbs):
         for c in range(n_c):
             b = c - a
             if 0 <= b < n_limbs:
-                big[:, :, a, c * n_out:(c + 1) * n_out] = limbs[b]
+                big[:, a::8, c * n_out:(c + 1) * n_out] = limbs[b]
     return big
 
 
 def _mod_matmul(a_u64, m_big, q, r_hi, r_lo, n_limbs: int, n_out: int,
-                m_on_left: bool):
-    """Exact (A @ M) mod q (or (M @ A) if m_on_left) on the MXU.
+                spec: str):
+    """Exact modular matrix transform on the MXU with NO explicit
+    transposes: `spec` is an einsum over the bitcast operand
+    `a8[..., k, <x>, <y>, l]` and `m_big[k, n_in, 8, n_c*n_out]`,
+    contracting the transform axis together with the byte axis `l` and
+    emitting output dims in whatever order the NEXT stage wants (the
+    MXU absorbs the data reordering that u64 transposes — measured
+    ~0.7 ms/6 MB on the v5e — would otherwise cost).
 
-    a_u64: [..., k, r, c] u64, fully reduced mod q.
-    m_big: [k, n_in, nl, n_c*n_out] u8 (see `_build_big`).
-    Contraction runs jointly over the shared index and A's byte axis;
-    partial sums < n_in * nl * 255^2 < 2^31 stay exact in int32.
+    The output's `p` dim (size n_c*n_out) is reshaped to (n_c, n_out)
+    and the limb-convolution partials P_c (exact in int32: partial sums
+    < n_in * nl * 255^2 < 2^31) recombine into a 128-bit (hi, lo) pair
+    via 32-bit-aligned slots, then one Barrett-128 per element.
     """
     n_c = 2 * n_limbs - 1
-    a8 = jax.lax.bitcast_convert_type(a_u64, jnp.uint8)[..., :n_limbs]
-    if m_on_left:
-        # contract A's row axis i: out[..., k, c*n_out+j1, j2]
-        p = jnp.einsum("...kijl,kilp->...kpj", a8, m_big,
-                       preferred_element_type=I32)
+    a8 = jax.lax.bitcast_convert_type(a_u64, jnp.uint8)
+    mb = m_big.reshape(m_big.shape[0], m_big.shape[1] // 8, 8,
+                       m_big.shape[2])
+    p = jnp.einsum(spec, a8, mb, preferred_element_type=I32)
+    # `p` has the n_c*n_out axis at position -2 (specs emit "...p<f>")
+    # or -1 (specs emit "...<f>p")
+    p_axis = -2 if spec.endswith(("pj", "pi")) else -1
+    if p_axis == -2:
         pp = p.reshape(*p.shape[:-2], n_c, n_out, p.shape[-1])
-        c_axis = -3
+        c_index = lambda c: pp[..., c, :, :]   # noqa: E731
     else:
-        # contract A's column axis j: out[..., k, i, c*n_out+j2]
-        p = jnp.einsum("...kijl,kjlp->...kip", a8, m_big,
-                       preferred_element_type=I32)
         pp = p.reshape(*p.shape[:-1], n_c, n_out)
-        c_axis = -2
+        c_index = lambda c: pp[..., c, :]      # noqa: E731
     slots = [None] * 4
     for c in range(n_c):
         s, sh = divmod(8 * c, 32)
-        term = jnp.take(pp, c, axis=c_axis).astype(U64) << U64(sh)
+        term = c_index(c).astype(U64) << U64(sh)
         slots[s] = term if slots[s] is None else slots[s] + term
     zero = jnp.zeros(slots[0].shape, U64)
     slots = [zero if s is None else s for s in slots]
@@ -217,29 +226,39 @@ class MatmulNttPlan:
     # -- transforms ----------------------------------------------------------
 
     def fwd(self, x):
-        """[..., k, N] natural coeff order -> natural NTT order."""
+        """[..., k, N] natural coeff order -> NTT domain.
+
+        NTT-domain layout: X'[j2 + n2*j1] = DFT[j2 + n2*j1] — i.e.
+        natural evaluation order laid out as [j1, j2] (opaque to
+        consumers: only pointwise ops touch the domain, `inv` undoes
+        it). No explicit transposes: the initial reshape views x as
+        [i2, i1] and step 1 contracts i2 (the MAJOR axis) directly."""
         n, n1, n2 = self.n, self.n1, self.n2
-        # x[i1 + n1*i2] -> A[i1, i2]
-        a = jnp.swapaxes(x.reshape(*x.shape[:-1], n2, n1), -1, -2)
+        a = x.reshape(*x.shape[:-1], n2, n1)          # [i2, i1]
         q3, rh3, rl3 = self._q3()
+        # Y[i1, j2] = sum_{i2} A[i2, i1] M2'[i2, j2]
         y = _mod_matmul(a, self.m2_big, q3, rh3, rl3, self.n_limbs, n2,
-                        m_on_left=False)
-        y = self._tw(y, self.tw1, self.tw1_sh, q3)
+                        spec="...kjil,kjlp->...kip")  # [i1, (c,j2)]
+        y = self._tw(y, self.tw1, self.tw1_sh, q3)    # [i1, j2]
+        # Z[j1, j2] = sum_{i1} M1[j1, i1] Y[i1, j2]
         z = _mod_matmul(y, self.m1_big, q3, rh3, rl3, self.n_limbs, n1,
-                        m_on_left=True)
+                        spec="...kijl,kilp->...kpj")  # [(c,j1), j2]
         return z.reshape(*z.shape[:-2], n)
 
     def inv(self, x):
-        """[..., k, N] natural NTT order -> natural coeff order."""
+        """NTT domain (see `fwd`) -> [..., k, N] natural coeff order."""
         n, n1, n2 = self.n, self.n1, self.n2
-        z = x.reshape(*x.shape[:-1], n1, n2)
+        z = x.reshape(*x.shape[:-1], n1, n2)          # [j1, j2]
         q3, rh3, rl3 = self._q3()
+        # U[i1, j2] = sum_{j1} iM1[i1, j1] Z[j1, j2]
         u = _mod_matmul(z, self.im1_big, q3, rh3, rl3, self.n_limbs, n1,
-                        m_on_left=True)
-        u = self._tw(u, self.itw1, self.itw1_sh, q3)
+                        spec="...kijl,kilp->...kpj")  # [(c,i1), j2]
+        u = self._tw(u, self.itw1, self.itw1_sh, q3)  # [i1, j2]
+        # V[i2, i1] = sum_{j2} U[i1, j2] iM2'[j2, i2]  (emitted
+        # transposed so the final reshape is the natural coeff order)
         v = _mod_matmul(u, self.im2_big, q3, rh3, rl3, self.n_limbs, n2,
-                        m_on_left=False)
-        return jnp.swapaxes(v, -1, -2).reshape(*v.shape[:-2], n)
+                        spec="...kijl,kjlp->...kpi")  # [(c,i2), i1]
+        return v.reshape(*v.shape[:-2], n)
 
     # -- pointwise helpers ---------------------------------------------------
 

@@ -13,9 +13,14 @@ V_j. Equivalent guarantee (same message proven valid-encrypted and
 constrained by the R1CS), different mechanism; documented delta from
 the reference.
 
-Round-1 limitation: linked messages must have non-negative digit
-encodings (Unsigned64 or non-negative Signed); the digit-remap gadget
-for negative digits lands with the BfvSigned ZKP type.
+Signed messages: digit encodings with digits in {-1, 0, 1} (the
+Signed/Unsigned64 fresh encodings, negative values included) link via
+centered digit lifts — the field value is sum lift(c_j)*2^j mod L and
+the bit weights are the 2's-complement pair [1, -2] per coefficient,
+the same recombination the reference's `BfvSigned` ZKP type performs
+in-circuit (`types/zkp/bfv_plaintext.rs:64-128`). `reencrypt` and
+`decrypt_returning_link` mirror the reference builder's
+`reencrypt`/`decrypt_returning_msg` (builder.rs:397-900).
 """
 
 from __future__ import annotations
@@ -267,24 +272,45 @@ class LogProofBuilder:
         assert polys.shape[0] == 1, \
             "linked encryption supports single-ciphertext types"
         pt = polys[0]
-        if link:
-            assert np.all(pt <= 1), (
-                "round-1 linked messages need non-negative binary digit "
-                "encodings (Unsigned64 / non-negative Signed)")
         key = sampling.key_from_seed(seed)
         ct, (u, e0, e1) = bops.encrypt_return_components(
             self.ctx, public_key.public_key, pt, key)
-        mid = self.statements.add_message(pt)
-        self._msg_bound_bits[mid] = 1
+        mid = self._add_message(pt)
         self.statements.add_public_encryption(
             mid, np.asarray(ct), public_key.public_key,
             np.asarray(u), np.asarray(e0), np.asarray(e1))
         wrapped = Ciphertext(tcls._type_name(), [ct], self.ctx.params)
         if not link:
             return wrapped, None
-        # field value: poly evaluated at 2 (digits non-negative)
-        val = sum(int(c) << i for i, c in enumerate(pt)) % L
-        # weights: per coefficient j, 2's complement weights scaled 2^j
+        return wrapped, self._link_message(mid, pt)
+
+    def _add_message(self, pt) -> int:
+        """Register a message poly; signed ±1 digit encodings (Signed /
+        Unsigned / negative values — the reference's `BfvSigned` /
+        `BfvUnsigned64` linked types, `types/zkp/bfv_plaintext.rs`) fit
+        the 1-magnitude-bit bound (2 bits with the sign bump)."""
+        t = self.ctx.params.plain_modulus
+        digits = np.asarray(pt, dtype=np.uint64)
+        assert np.all((digits <= 1) | (digits == t - 1)), (
+            "linked messages must be fresh digit encodings with digits "
+            "in {-1, 0, 1} (Signed/Unsigned64 encodings)")
+        mid = self.statements.add_message(pt)
+        self._msg_bound_bits[mid] = 1
+        return mid
+
+    def _link_message(self, mid: int, pt) -> LinkedMessage:
+        """Field value + bit weights for a registered message. Value =
+        sum_j lift(c_j) * 2^j mod L with centered digit lift (negative
+        digits land as L - |v| in the field, matching the reference's
+        2's-complement coefficient extraction +  signed recombination,
+        `bfv_plaintext.rs:64-128`)."""
+        t = self.ctx.params.plain_modulus
+        val = 0
+        for i, c in enumerate(np.asarray(pt, dtype=np.uint64)):
+            d = int(c)
+            if d > t // 2:
+                d -= t
+            val = (val + d * (1 << i)) % L
         tc = twos_complement_coeffs(2)  # 1-bit bound -> 2 bits signed
         weights = []
         for j in range(self.ctx.n):
@@ -292,7 +318,51 @@ class LogProofBuilder:
                 weights.append((1 << j) * w % L)
         msg = LinkedMessage(mid, val, weights)
         self._links.append(msg)
-        return wrapped, msg
+        return msg
+
+    # -- decryption / reencryption capture ----------------------------------
+
+    def decrypt_returning_link(self, ct, private_key):
+        """Decrypt + record a Decryption statement + return a
+        LinkedMessage for the decrypted value (reference:
+        `decrypt_returning_msg`, builder.rs:397-900)."""
+        from sunscreen_tpu.bfv import ops as bops
+        from sunscreen_tpu.types.bfv_types import resolve_type
+        assert len(ct.cts) == 1, "single-ciphertext types only"
+        raw = ct.cts[0]
+        pt = np.asarray(bops.decrypt(self.ctx, private_key.sk, raw))
+        mid = self._add_message(pt)
+        self.statements.add_decryption(mid, np.asarray(raw),
+                                       private_key.sk)
+        value = resolve_type(ct.type_name).decode(pt, self.ctx.params)
+        return value, self._link_message(mid, pt)
+
+    def reencrypt(self, ct, private_key, public_key,
+                  seed: int | None = None, link: bool = True):
+        """Prove `new_ct` encrypts THE SAME message `ct` decrypts to:
+        records one shared message with both a Decryption statement (old
+        ct) and a PublicKeyEncryption statement (new ct) against it
+        (reference: `LogProofBuilder::reencrypt`, builder.rs:397-900).
+        Returns (new_ct, LinkedMessage | None)."""
+        from sunscreen_tpu.bfv import ops as bops
+        from sunscreen_tpu.math import sampling
+        from sunscreen_tpu.runtime.runtime import Ciphertext
+        assert len(ct.cts) == 1, "single-ciphertext types only"
+        raw = ct.cts[0]
+        pt = np.asarray(bops.decrypt(self.ctx, private_key.sk, raw))
+        mid = self._add_message(pt)
+        self.statements.add_decryption(mid, np.asarray(raw),
+                                       private_key.sk)
+        key = sampling.key_from_seed(seed)
+        new_raw, (u, e0, e1) = bops.encrypt_return_components(
+            self.ctx, public_key.public_key, pt, key)
+        self.statements.add_public_encryption(
+            mid, np.asarray(new_raw), public_key.public_key,
+            np.asarray(u), np.asarray(e0), np.asarray(e1))
+        wrapped = Ciphertext(ct.type_name, [new_raw], self.ctx.params)
+        if not link:
+            return wrapped, None
+        return wrapped, self._link_message(mid, pt)
 
     # -- builds --------------------------------------------------------------
 

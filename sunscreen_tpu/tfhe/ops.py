@@ -563,3 +563,138 @@ def scheme_switch(glev, ssk, glwe: GlweDef,
             for j in range(out_radix.count)]))
     rows.append(glev)
     return jnp.stack(rows)
+
+
+# --------------------------------------------------------------------------
+# GLWE keyswitch / public functional keyswitch / LWE public keys /
+# generalized PBS (round-2 completion items)
+# --------------------------------------------------------------------------
+
+def generate_glwe_keyswitch_key(from_sk, to_sk, to_params: GlweDef,
+                                radix: RadixDecomposition, key):
+    """GKSK_i = GLEV(from_sk_i) under to_sk, one per from-key mask poly
+    (reference: `ops/keyswitch/glwe_keyswitch.rs` —
+    `generate_keyswitch_key_glwe`). Shape [k_from, l, k+1, N]."""
+    rows = []
+    for i in range(from_sk.shape[0]):
+        rows.append(encrypt_glev(from_sk[i].astype(U64), to_sk,
+                                 to_params, radix,
+                                 jax.random.fold_in(key, i)))
+    return jnp.stack(rows)
+
+
+def keyswitch_glwe_to_glwe(ct, gksk, to_params: GlweDef,
+                           radix: RadixDecomposition):
+    """GLWE under s -> GLWE under s': (0, b) - sum_i <decomp(a_i),
+    GLEV(s_i)> (reference: `keyswitch_glwe_to_glwe`,
+    glwe_keyswitch.rs). Exact CRT-NTT polynomial products."""
+    plan = get_torus_plan(to_params.poly_degree)
+    k_from = gksk.shape[0]
+    a = ct[..., :k_from, :]
+    b = ct[..., -1, :]
+    acc_rns = None
+    for i in range(k_from):
+        digits = torus.signed_decompose(a[..., i, :], radix.radix_log,
+                                        radix.count)
+        for j in range(radix.count):
+            d_hat = plan.fwd(plan.signed_to_rns(digits[j]))
+            row_hat = plan.fwd(plan.torus_to_rns(gksk[i, j]))
+            term = plan.pointwise(d_hat[..., None, :, :], row_hat)
+            acc_rns = term if acc_rns is None else plan.add(acc_rns,
+                                                            term)
+    acc = plan.to_torus(plan.plan.inv(acc_rns))
+    out = -acc
+    return out.at[..., -1, :].add(b)
+
+
+def generate_public_functional_keyswitch_key(
+        from_sk, to_glwe_sk, to_params: GlweDef,
+        radix: RadixDecomposition, key):
+    """PubFKSK_i = GLEV(s_i) under the target GLWE key, one per source
+    LWE mask index (reference:
+    `ops/keyswitch/public_functional_keyswitch.rs` — the functional
+    morphism stays PUBLIC and is applied at switch time, unlike the
+    private variant whose keys hide it)."""
+    n_in = from_sk.shape[0]
+    rows = []
+    for i in range(n_in):
+        msg = jnp.zeros(to_params.poly_degree, dtype=U64)
+        msg = msg.at[0].set(from_sk[i].astype(U64))
+        rows.append(encrypt_glev(msg, to_glwe_sk, to_params, radix,
+                                 jax.random.fold_in(key, i)))
+    return jnp.stack(rows)  # [n_in, l, k+1, N]
+
+
+def public_functional_keyswitch(cts, pub_ksk, f_weights,
+                                to_params: GlweDef,
+                                radix: RadixDecomposition):
+    """p LWE ciphertexts -> one GLWE of f(m_1..m_p), f the PUBLIC
+    linear morphism f(x)[c] = sum_j x_j * f_weights[j][c] (integer
+    weight polys; reference `public_functional_keyswitch`).
+
+    out = (0, f(b)) - sum_i <decomp(f(a_.i)), GLEV(s_i)>.
+    """
+    plan = get_torus_plan(to_params.poly_degree)
+    cts = jnp.asarray(cts)                   # [p, n+1]
+    w = jnp.asarray(f_weights, dtype=U64)    # [p, N]
+    a = cts[..., :-1]                        # [p, n]
+    b = cts[..., -1]                         # [p]
+    n_in = a.shape[-1]
+    # f applied across the p ciphertexts (linear combination of weight
+    # polys; wrapping u64 arithmetic is exact on the torus)
+    fa = jnp.einsum("pn,pc->nc", a, w)       # [n, N] torus polys
+    fb = jnp.einsum("p,pc->c", b, w)         # [N]
+    acc_rns = None
+    for i in range(n_in):
+        digits = torus.signed_decompose(fa[i], radix.radix_log,
+                                        radix.count)
+        for j in range(radix.count):
+            d_hat = plan.fwd(plan.signed_to_rns(digits[j]))
+            row_hat = plan.fwd(plan.torus_to_rns(pub_ksk[i, j]))
+            term = plan.pointwise(d_hat[..., None, :, :], row_hat)
+            acc_rns = term if acc_rns is None else plan.add(acc_rns,
+                                                            term)
+    acc = plan.to_torus(plan.plan.inv(acc_rns))
+    out = -acc
+    return out.at[..., -1, :].add(fb)
+
+
+def generate_lwe_public_key(sk, params: LweDef, count: int, key):
+    """LWE public key = `count` encryptions of zero (reference:
+    `entities/lwe_public_key.rs`; count ~ n log n for leftover-hash
+    security)."""
+    keys = jax.random.split(key, count)
+    return jax.vmap(lambda k: encrypt_lwe(U64(0), sk, params, k))(keys)
+
+
+def encrypt_lwe_public(msg_torus, pk, params: LweDef, key):
+    """Public LWE encryption: ct = sum_i r_i * pk_i + (0, m) + e' with
+    binary r (reference: `encrypt_lwe_secret_with_public_key`)."""
+    k_r, k_e = jax.random.split(key)
+    count = pk.shape[0]
+    r = jax.random.bernoulli(k_r, 0.5, (count,)).astype(U64)
+    ct = jnp.sum(r[:, None] * pk, axis=0)
+    e = _noise(k_e, (), params.std)
+    return ct.at[..., -1].add(jnp.asarray(msg_torus, dtype=U64) + e)
+
+
+def generalized_programmable_bootstrap(
+        lwe_ct, fn, plaintext_bits: int, bsk, lwe: LweDef,
+        glwe: GlweDef, pbs_radix: RadixDecomposition,
+        out_radix: RadixDecomposition):
+    """Generalized PBS: emits a LEV-style stack of extracted LWEs
+    [l_out, kN+1], level j encrypting f(m) * B_j under the extracted
+    GLWE key (reference: `programmable_bootstrapping.rs:34-572` — the
+    multi-level generalized form consumed by circuit bootstrapping;
+    the univariate PBS is the l_out=1, delta-scaled special case).
+
+    `fn` must map [0, 2^(bits-1)) into [0, 2^(bits-1)) — the top
+    (padding) bit stays clear, the usual negacyclic PBS contract."""
+    outs = []
+    for j in range(out_radix.count):
+        bj = 1 << (TORUS_BITS - (j + 1) * out_radix.radix_log)
+        tp = test_polynomial_torus(lambda mm: fn(mm) * bj,
+                                   plaintext_bits, glwe)
+        rotated = blind_rotate(tp, lwe_ct, bsk, glwe, pbs_radix)
+        outs.append(sample_extract(rotated, glwe))
+    return jnp.stack(outs)

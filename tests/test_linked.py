@@ -81,3 +81,43 @@ def test_bridge_tamper_rejected(rt_keys):
     # swap the bulletproof (commits a different value) -> bridge fails
     p1.bp_proof = p2.bp_proof
     assert not p1.verify(in_range)
+
+
+def test_signed_negative_linked_proof(rt_keys):
+    """BfvSigned equivalent: a NEGATIVE Signed value links with the
+    correct field value (L - |v|) and proves (reference:
+    `types/zkp/bfv_plaintext.rs` — the headline private_tx need)."""
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.zk import curve25519 as cv
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    ct, link = builder.encrypt_returning_link(Signed(-42), pub, seed=16)
+    assert link.value == (-42) % cv.L
+    proof = builder.build_linked(equals_public,
+                                 public_inputs=[(-42) % cv.L])
+    assert proof.verify(equals_public, public_inputs=[(-42) % cv.L])
+    assert not proof.verify(equals_public, public_inputs=[42])
+    assert rt.decrypt(ct, priv) == -42
+
+
+def test_decrypt_returning_link(rt_keys):
+    rt, pub, priv = rt_keys
+    ct = rt.encrypt(Unsigned64(99), pub, seed=17)
+    builder = LogProofBuilder(rt)
+    value, link = builder.decrypt_returning_link(ct, priv)
+    assert value == 99 and link.value == 99
+    proof = builder.build_linked(equals_public, public_inputs=[99])
+    assert proof.verify(equals_public, public_inputs=[99])
+
+
+def test_reencrypt_statement(rt_keys):
+    """reencrypt binds old-ct decryption and new-ct encryption to ONE
+    shared message (reference: `LogProofBuilder::reencrypt`)."""
+    rt, pub, priv = rt_keys
+    ct = rt.encrypt(Unsigned64(31), pub, seed=18)
+    builder = LogProofBuilder(rt)
+    new_ct, link = builder.reencrypt(ct, priv, pub, seed=19)
+    assert link.value == 31
+    sdlp = builder.build_sdlp()
+    assert sdlp.verify()
+    assert rt.decrypt(new_ct, priv) == 31

@@ -137,3 +137,98 @@ def test_bivariate_pbs(glwe_sk):
                 TEST_RADIX_FINE, PFKS_RADIX, bits)
             got = int(ops.decrypt_lwe(out, lwe_sk, 2 * bits))
             assert got == (a & b), (a, b, got)
+
+
+# -- round-2 completion ops -------------------------------------------------
+
+def test_glwe_keyswitch(glwe_sk):
+    """GLWE under key A -> key B preserves the message (reference:
+    `ops/keyswitch/glwe_keyswitch.rs`)."""
+    from sunscreen_tpu.tfhe import TEST_GLWE_DEF_2
+    bits = 4
+    from_sk = ops.generate_binary_glwe_sk(TEST_GLWE_DEF_2,
+                                          jax.random.fold_in(KEY, 40))
+    to_sk = ops.generate_binary_glwe_sk(TEST_GLWE_DEF_2,
+                                        jax.random.fold_in(KEY, 41))
+    msgs = RNG.integers(0, 1 << bits,
+                        TEST_GLWE_DEF_2.poly_degree, dtype=np.uint64)
+    ct = ops.encrypt_glwe(torus.encode(jnp.asarray(msgs), bits),
+                          from_sk, TEST_GLWE_DEF_2,
+                          jax.random.fold_in(KEY, 42))
+    gksk = ops.generate_glwe_keyswitch_key(
+        from_sk, to_sk, TEST_GLWE_DEF_2, PFKS_RADIX,
+        jax.random.fold_in(KEY, 43))
+    out = ops.keyswitch_glwe_to_glwe(ct, gksk, TEST_GLWE_DEF_2,
+                                     PFKS_RADIX)
+    got = ops.decrypt_glwe(out, to_sk, TEST_GLWE_DEF_2, bits)
+    np.testing.assert_array_equal(np.asarray(got), msgs)
+
+
+def test_public_functional_keyswitch(glwe_sk):
+    """Three LWEs -> one GLWE carrying f(m1,m2,m3) with public weight
+    polys (reference: `public_functional_keyswitch.rs`)."""
+    bits = 4
+    n = GLWE.poly_degree
+    from_sk = ops.generate_binary_lwe_sk(LWE_SMALL,
+                                         jax.random.fold_in(KEY, 50))
+    msgs = [3, 5, 7]
+    cts = jnp.stack([
+        ops.encrypt_lwe(torus.encode(jnp.uint64(m), bits), from_sk,
+                        LWE_SMALL, jax.random.fold_in(KEY, 51 + i))
+        for i, m in enumerate(msgs)])
+    # f(x1,x2,x3) = x1 + 2*x2*X + x3*X^2
+    w = np.zeros((3, n), dtype=np.uint64)
+    w[0, 0] = 1
+    w[1, 1] = 2
+    w[2, 2] = 1
+    pksk = ops.generate_public_functional_keyswitch_key(
+        from_sk, glwe_sk, GLWE, PFKS_RADIX, jax.random.fold_in(KEY, 54))
+    out = ops.public_functional_keyswitch(cts, pksk, w, GLWE,
+                                          PFKS_RADIX)
+    got = np.asarray(ops.decrypt_glwe(out, glwe_sk, GLWE, bits))
+    assert got[0] == 3 and got[1] == 10 and got[2] == 7
+    assert np.all(got[3:] == 0)
+
+
+def test_lwe_public_key_encryption():
+    """Public-key LWE encryption decrypts correctly (reference:
+    `entities/lwe_public_key.rs`)."""
+    bits = 4
+    sk = ops.generate_binary_lwe_sk(LWE_SMALL,
+                                    jax.random.fold_in(KEY, 60))
+    pk = ops.generate_lwe_public_key(sk, LWE_SMALL, 256,
+                                     jax.random.fold_in(KEY, 61))
+    for i, msg in enumerate((0, 5, 11, 15)):
+        ct = ops.encrypt_lwe_public(torus.encode(jnp.uint64(msg), bits),
+                                    pk, LWE_SMALL,
+                                    jax.random.fold_in(KEY, 62 + i))
+        assert int(ops.decrypt_lwe(ct, sk, bits)) == msg
+
+
+def test_generalized_pbs(glwe_sk):
+    """Generalized PBS emits LEV levels f(m)*B_j under the extracted
+    key (reference: `programmable_bootstrapping.rs:34-572`)."""
+    bits = 2
+    out_radix = RadixDecomposition(count=2, radix_log=8)
+    # deep output levels (B_2 = 2^48) need a fine bootstrap radix: the
+    # blind-rotate decomposition error ~ sqrt(n)*2^(64 - l*b) must sit
+    # far below the last level's scale
+    pbs_radix = RadixDecomposition(count=8, radix_log=6)
+    lwe_sk = ops.generate_binary_lwe_sk(LWE_SMALL,
+                                        jax.random.fold_in(KEY, 70))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, LWE_SMALL, GLWE,
+                                     pbs_radix,
+                                     jax.random.fold_in(KEY, 71))
+    extracted = ops.flatten_glwe_sk(glwe_sk)
+    for msg in (0, 1):   # bits=2 keeps the padding bit clear
+        ct = ops.encrypt_lwe(torus.encode(jnp.uint64(msg), bits),
+                             lwe_sk, LWE_SMALL,
+                             jax.random.fold_in(KEY, 72 + msg))
+        lev = ops.generalized_programmable_bootstrap(
+            ct, lambda m: 1 - m, bits, bsk, LWE_SMALL, GLWE,
+            pbs_radix, out_radix)
+        for j in range(out_radix.count):
+            bj = 1 << (64 - (j + 1) * out_radix.radix_log)
+            phase = int(ops.decrypt_lwe_torus(lev[j], extracted))
+            got = round(phase / bj) % (1 << out_radix.radix_log)
+            assert got == 1 - msg, (msg, j, got)
