@@ -12,7 +12,14 @@ performance.md:21` — 0.053 s for keygen + 4 encryptions + 5 muls + adds)
 """
 
 import json
+import os
 import time
+
+# NTT lowering for the bench: unrolled stages measured fastest
+# end-to-end on the v5e (vs matmul-NTT mode, which compiles ~6x faster
+# and is the default for cold-compile-bound example runs). Respect an
+# explicit caller override.
+os.environ.setdefault("SUNSCREEN_TPU_NTT", "unrolled")
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +27,7 @@ import jax.numpy as jnp
 BASELINE_OPS_PER_S = 250.0
 N = 8192
 LIMBS = 3
-BATCH = 32  # throughput scales with batch: 8 -> 550 op/s, 32 -> 1068 op/s
+BATCH = 128  # throughput scales with batch: 32 -> ~1.1k, 128 -> ~1.3k op/s
 
 
 def main():

@@ -15,6 +15,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
+
+# calibration is a host-side sweep; don't occupy the (single-client)
+# tunneled TPU for it
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 from sunscreen_tpu.bfv import BfvParams, get_context, keys, ops  # noqa: E402
@@ -62,26 +66,37 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--csv", default=None)
     ap.add_argument("--degrees", default="1024,2048")
+    ap.add_argument("--secure-degrees", default="4096",
+                    help="comma list of N measured at real 128-bit "
+                         "default params (reference sweeps lambda in "
+                         "{128,192,256} x d; see "
+                         "benchmarks/cannonical_norm_noise_model)")
     args = ap.parse_args()
     out = io.StringIO()
     w = csv.writer(out)
-    w.writerow(["poly_degree", "op", "predicted_budget",
+    w.writerow(["poly_degree", "security", "op", "predicted_budget",
                 "measured_budget", "margin_bits"])
-    for n in (int(x) for x in args.degrees.split(",")):
-        params = BfvParams.insecure(poly_degree=n, limbs=2, limb_bits=40)
+
+    def rows_for(params, n, lam):
         for op in (Op.INPUT_CIPHERTEXT, Op.ADD, Op.MULTIPLY):
             prog = one_op_program(op)
             pred = predicted_budget(prog, params)
             meas = measure(params, op)
-            w.writerow([n, op.value, f"{pred:.1f}", f"{meas:.1f}",
+            w.writerow([n, lam, op.value, f"{pred:.1f}", f"{meas:.1f}",
                         f"{meas - pred:.1f}"])
+
+    for n in (int(x) for x in args.degrees.split(",") if x):
+        rows_for(BfvParams.insecure(poly_degree=n, limbs=2,
+                                    limb_bits=40), n, 0)
+    for n in (int(x) for x in args.secure_degrees.split(",") if x):
+        rows_for(BfvParams.default(n), n, 128)
     text = out.getvalue()
     print(text)
     if args.csv:
         Path(args.csv).write_text(text)
     # the analytic model must be conservative: predicted <= measured
     rows = [r.split(",") for r in text.strip().splitlines()[1:]]
-    assert all(float(r[4]) >= -1.0 for r in rows), \
+    assert all(float(r[5]) >= -1.0 for r in rows), \
         "analytic model not conservative"
 
 

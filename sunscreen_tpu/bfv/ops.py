@@ -260,19 +260,29 @@ def multiply(ctx: BfvContext, a, b):
     def extend(x):
         aux = ctx.conv_q_to_aux.convert(x, centered=True)
         return jnp.concatenate([x, aux], axis=-2)
-    a_hat = ctx.plan_mul.fwd(extend(a))
-    b_hat = ctx.plan_mul.fwd(extend(b))
-    qm = ctx.mul_base.q_dev.reshape(ctx.mul_base.k, 1)
+    # ONE batched forward transform over both operands' components
+    # (better MXU/VPU utilization than per-operand calls)
+    both = ctx.plan_mul.fwd(
+        jnp.concatenate([extend(a), extend(b)], axis=-3))
+    a_hat = both[..., :na, :, :]
+    b_hat = both[..., na:, :, :]
+    km = ctx.mul_base.k
+    qm = ctx.mul_base.q_dev.reshape(km, 1)
     outs = []
     for j in range(na + nb - 1):
+        # sum the (< nb) cross terms in plain u64 then reduce once:
+        # each term is < q < 2^56, so a handful of terms cannot wrap,
+        # and the residue mod q is unchanged (bit-identical results)
         acc = None
         for ia in range(na):
             ib = j - ia
             if 0 <= ib < nb:
                 term = ctx.plan_mul.pointwise_mul(
                     a_hat[..., ia, :, :], b_hat[..., ib, :, :])
-                acc = term if acc is None else m.add_mod(acc, term, qm)
-        outs.append(acc)
+                acc = term if acc is None else acc + term
+        outs.append(m.barrett_reduce_64(
+            acc, qm, ctx.mul_base.ratio_hi_dev.reshape(km, 1),
+            ctx.mul_base.ratio_lo_dev.reshape(km, 1)))
     tensor = ctx.plan_mul.inv(jnp.stack(outs, axis=-3))
     scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
     return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
@@ -285,19 +295,22 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     kb = ctx.key_base
     kk = ctx.k + 1
     qk = kb.q_dev.reshape(kk, 1)
-    acc0 = acc1 = None
-    for i in range(ctx.k):
-        digit = d[..., i, :]
-        ext = m.barrett_reduce_64(
-            digit[..., None, :], qk, kb.ratio_hi_dev.reshape(kk, 1),
-            kb.ratio_lo_dev.reshape(kk, 1))
-        d_hat = ctx.plan_key.fwd(ext)
-        t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0[i])
-        t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1[i])
-        acc0 = t0 if acc0 is None else m.add_mod(acc0, t0, qk)
-        acc1 = t1 if acc1 is None else m.add_mod(acc1, t1, qk)
-    u0 = ctx.plan_key.inv(acc0)
-    u1 = ctx.plan_key.inv(acc1)
+    rh = kb.ratio_hi_dev.reshape(kk, 1)
+    rl = kb.ratio_lo_dev.reshape(kk, 1)
+    # all k digits extended + transformed in ONE batched NTT:
+    # digits [..., k, N] -> ext [..., k(digit), kk(limb), N]
+    ext = m.barrett_reduce_64(d[..., :, None, :], qk, rh, rl)
+    d_hat = ctx.plan_key.fwd(ext)
+    # inner products with the key rows: sum over the digit axis in
+    # plain u64 (k terms each < q < 2^56 cannot wrap) + one reduction —
+    # residues are identical to the add_mod chain (bit-exact)
+    t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
+    t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
+    acc0 = m.barrett_reduce_64(jnp.sum(t0, axis=-3), qk, rh, rl)
+    acc1 = m.barrett_reduce_64(jnp.sum(t1, axis=-3), qk, rh, rl)
+    both = ctx.plan_key.inv(jnp.stack([acc0, acc1], axis=-3))
+    u0 = both[..., 0, :, :]
+    u1 = both[..., 1, :, :]
     return (ctx.mod_down.apply(u0[..., :ctx.k, :], u0[..., ctx.k, :]),
             ctx.mod_down.apply(u1[..., :ctx.k, :], u1[..., ctx.k, :]))
 

@@ -261,12 +261,23 @@ def msm_py(scalars, points) -> Point:
 
 
 def msm(scalars, points) -> Point:
-    """Multi-scalar multiplication sum(s_i * P_i). Dispatches to the
-    native C++ Pippenger kernel when available (reference:
-    `parallel_multiscalar_multiplication`, logproof/math.rs; GPU
-    Pippenger in sunscreen_math/opencl_impl/multiexp.rs)."""
+    """Multi-scalar multiplication sum(s_i * P_i). Dispatch order:
+    TPU Pippenger (`zk/tpu_curve.py` — sort + segmented-scan bucket
+    accumulation, opt-in via SUNSCREEN_TPU_MSM=1 for large inputs on
+    an accelerator backend), then the native C++ Pippenger kernel,
+    then pure python (reference: `parallel_multiscalar_multiplication`
+    logproof/math.rs; GPU Pippenger in
+    sunscreen_math/opencl_impl/multiexp.rs)."""
+    import os
     points = list(points)
     scalars = list(scalars)
+    if (len(points) >= 2048
+            and os.environ.get("SUNSCREEN_TPU_MSM", "") == "1"):
+        import jax
+
+        from sunscreen_tpu.zk import tpu_curve
+        if jax.default_backend() != "cpu":
+            return tpu_curve.msm(scalars, points)
     if len(points) >= 8:
         from sunscreen_tpu.zk import native
         result = native.msm(scalars, points)

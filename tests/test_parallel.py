@@ -92,3 +92,44 @@ def test_batched_limb_sharded_bfv_multiply(mesh):
     got = np.stack([np.asarray(ops.decrypt(ctx, sk, out[i]))
                     for i in range(batch)])
     np.testing.assert_array_equal(got, expect)
+
+
+def test_sharded_multiply_relin_matches_single_chip():
+    """Coefficient-sharded HPS multiply + hybrid keyswitch over an
+    8-device mesh is bit-identical to the single-chip evaluator
+    (dntt wired into bfv ops — SURVEY §2.5 scale dimension)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sunscreen_tpu.bfv import BfvParams, get_context
+    from sunscreen_tpu.bfv import keys as bkeys
+    from sunscreen_tpu.bfv import ops as bops
+    from sunscreen_tpu.parallel import sharded_bfv as sb
+
+    # tiny N: the distributed DFT matrices unroll n1+n2 mod-mat-vec
+    # steps inside an 8-way shard_map — keep the traced graph small
+    # enough for the single-core CI compile budget
+    params = BfvParams.insecure(poly_degree=64, limbs=2, limb_bits=30)
+    ctx = get_context(params)
+    key = jax.random.key(5)
+    sk = bkeys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+    pk = bkeys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+    rlk = bkeys.gen_relin_key(ctx, sk, jax.random.fold_in(key, 2))
+    pt = (np.arange(ctx.n, dtype=np.uint64) * 31) % ctx.t
+    ct = bops.encrypt(ctx, pk, pt, jax.random.fold_in(key, 3))
+
+    want = np.asarray(bops.multiply_relin(ctx, ct, ct, rlk))
+
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, axis_names=("coeff",))
+    ct4 = jax.device_put(
+        sb.to_sharded_layout(ct, ctx),
+        NamedSharding(mesh, P(None, None, None, "coeff")))
+    srlk = sb.sharded_relin_key(ctx, rlk, mesh)
+    out4 = sb.sharded_multiply_relin(ctx, mesh, ct4, ct4, srlk)
+    got = np.asarray(sb.from_sharded_layout(jax.device_get(out4), ctx))
+    np.testing.assert_array_equal(got, want)
+    # and it still decrypts to the plaintext square
+    dec = np.asarray(bops.decrypt(ctx, sk, jnp.asarray(got)))
+    dec_want = np.asarray(bops.decrypt(ctx, sk, jnp.asarray(want)))
+    np.testing.assert_array_equal(dec, dec_want)
