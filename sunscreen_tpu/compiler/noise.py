@@ -82,9 +82,20 @@ class CanonicalEmbeddingNormModel:
         return v
 
     def rotation(self, v: float) -> float:
-        # reference heuristic: charge 8 budget bits per rotation
-        # (`canonical_embedding_norm.rs` shift_left/right/swap_rows)
-        return v + noise_budget_to_noise(8.0)
+        """Hybrid-keyswitch noise bound: the switched component adds
+        |e_ks| <= k * N * B_err * q_max / p_sp before the t/Q scale,
+        with B_err = 6 sigma. (The reference leaves a TODO here and
+        charges a flat 8 budget bits — `canonical_embedding_norm.rs`
+        shift_left — which caps every rotation-using program below any
+        sane noise margin when the ANALYTIC model gates the param
+        search; the reference never trips this because its search is
+        measured-model-driven, `measured_model.rs`.)"""
+        p = self.params
+        k = len(p.coeff_modulus)
+        q_max = float(max(p.coeff_modulus))
+        e_ks = (k * self.n * 6.0 * NOISE_STD_DEV * q_max
+                / float(p.special_modulus))
+        return v + self.t * e_ks / self.q
 
 
 def predict_noise(prog: FheProgram, params,

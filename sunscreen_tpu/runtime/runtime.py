@@ -182,6 +182,22 @@ class FheRuntime:
                 f"{len(prog.signature.arg_types)} args, got {len(args)}")
         flat = []
         for a, (tname, is_cipher) in zip(args, prog.signature.arg_types):
+            if tname.startswith("[") and tname.endswith("]"):
+                # fixed-size array input "[Cipher<T>; n]" — a list of
+                # n ciphertexts (reference: sunscreen/tests/array.rs)
+                inner_t, count = tname[1:-1].rsplit("; ", 1)
+                if not isinstance(a, (list, tuple)) \
+                        or len(a) != int(count):
+                    raise RuntimeError_(
+                        f"argument expects a list of {count} values "
+                        f"({tname})")
+                for el in a:
+                    if not isinstance(el, Ciphertext):
+                        raise RuntimeError_(
+                            f"array elements must be Ciphertext "
+                            f"({inner_t})")
+                    flat.extend(el.cts)
+                continue
             if is_cipher:
                 if not isinstance(a, Ciphertext):
                     raise RuntimeError_(f"expected Ciphertext, got "

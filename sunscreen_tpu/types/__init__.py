@@ -1,4 +1,5 @@
 """FHE/ZKP DSL types (replaces `sunscreen/src/types/`)."""
 
 from sunscreen_tpu.types.bfv_types import (  # noqa: F401
-    Batched, BfvType, Cipher, Fractional, Rational, Signed, Unsigned64)
+    Array, Batched, BfvType, Cipher, Fractional, Rational, Signed,
+    Unsigned, Unsigned64, Unsigned128)

@@ -46,6 +46,38 @@ class _CipherAnnotation:
         return self.inner._from_ids(ids, cipher=True), n, True
 
 
+class Array:
+    """Fixed-size array program inputs (reference:
+    `[Cipher<Signed>; N]` args, `sunscreen/tests/array.rs`): annotate
+    as `Array[Cipher[Signed], 5]`. The traced handle is a python list
+    of element handles — index and iterate freely."""
+
+    def __class_getitem__(cls, item):
+        inner, length = item
+        return _ArrayAnnotation(inner, int(length))
+
+
+class _ArrayAnnotation:
+    def __init__(self, inner, length: int):
+        assert length >= 1
+        self.inner = inner
+        self.length = length
+
+    def _type_name(self):
+        return f"[{self.inner._type_name()}; {self.length}]"
+
+    def _make_input(self, ctx, input_idx):
+        handles = []
+        used = 0
+        is_cipher = True
+        for _ in range(self.length):
+            h, n, is_cipher = self.inner._make_input(
+                ctx, input_idx + used)
+            used += n
+            handles.append(h)
+        return handles, used, is_cipher
+
+
 def _is_handle(x):
     return isinstance(x, BfvType) and x._ids is not None
 
@@ -222,6 +254,54 @@ class Unsigned64(BfvType):
         weights = [1 << i for i in range(params.poly_degree)]
         return _signed_digits_decode(
             np.asarray(poly), t, weights) % (2**64)
+
+
+class Unsigned(BfvType):
+    """Generic unsigned integer of LIMBS 64-bit limbs (reference:
+    `Unsigned<LIMBS>`, `types/bfv/unsigned.rs:33`): `Unsigned[2]` is
+    the reference's `Unsigned128`. Binary digit encoding; decode wraps
+    mod 2^(64*LIMBS) like the reference's wrapping semantics."""
+
+    LIMBS = 1
+
+    def __init__(self, value: int = 0):
+        super().__init__()
+        self.value = int(value) & ((1 << (64 * self.LIMBS)) - 1)
+
+    _specializations: dict[int, type] = {}
+
+    def __class_getitem__(cls, limbs):
+        if limbs not in Unsigned._specializations:
+            Unsigned._specializations[limbs] = type(
+                f"Unsigned<{limbs}>", (cls,), {"LIMBS": limbs})
+        return Unsigned._specializations[limbs]
+
+    @classmethod
+    def _type_name(cls):
+        return f"Unsigned<{cls.LIMBS}>" if cls is not Unsigned \
+            else "Unsigned"
+
+    @classmethod
+    def encode(cls, value, params):
+        v = int(value)
+        assert v >= 0
+        n = params.poly_degree
+        bits = 64 * cls.LIMBS
+        assert n >= bits or v < (1 << n), "value exceeds ring capacity"
+        poly = np.zeros(n, dtype=np.uint64)
+        for i in range(min(v.bit_length(), min(bits, n))):
+            poly[i] = (v >> i) & 1
+        return poly
+
+    @classmethod
+    def decode(cls, poly, params):
+        t = params.plain_modulus
+        weights = [1 << i for i in range(params.poly_degree)]
+        return _signed_digits_decode(
+            np.asarray(poly), t, weights) % (1 << (64 * cls.LIMBS))
+
+
+Unsigned128 = Unsigned[2]
 
 
 class Fractional(BfvType):
@@ -444,6 +524,7 @@ TYPE_REGISTRY = {
     "Unsigned64": Unsigned64,
     "Rational": Rational,
     "Batched": Batched,
+    "Unsigned": Unsigned,
 }
 
 
@@ -453,4 +534,6 @@ def resolve_type(name: str):
     if name.startswith("Fractional"):
         return Fractional[int(name[len("Fractional"):])] \
             if name != "Fractional" else Fractional
+    if name.startswith("Unsigned<") and name.endswith(">"):
+        return Unsigned[int(name[len("Unsigned<"):-1])]
     return TYPE_REGISTRY[name]

@@ -218,3 +218,50 @@ def test_measured_noise_model():
     assert model.worst_budget > 0
     # analytic prediction must be conservative vs measurement
     assert predicted_budget(prog.prog, PARAMS) <= model.worst_budget + 1
+
+
+def test_generic_unsigned_limbs():
+    """Unsigned[LIMBS] generic (reference: `Unsigned<LIMBS>`,
+    `types/bfv/unsigned.rs:33`): Unsigned128 arithmetic end-to-end."""
+    import numpy as np
+
+    from sunscreen_tpu.bfv import BfvParams
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Unsigned128, Unsigned
+
+    assert Unsigned128 is Unsigned[2]
+    assert Unsigned128._type_name() == "Unsigned<2>"
+    params = BfvParams.insecure(poly_degree=256, limbs=2)
+    rt = Runtime.new_fhe(params)
+    pub, priv = rt.generate_keys(seed=9, galois=False, relin=False)
+    big = (1 << 90) + 12345
+    ct = rt.encrypt(Unsigned128(big), pub, seed=10)
+    assert rt.decrypt(ct, priv) == big
+    # wrap semantics at the type's width
+    assert Unsigned[2](1 << 128).value == 0
+
+
+def test_array_program_inputs():
+    """Fixed-size array args (reference: `sunscreen/tests/array.rs`)."""
+    from sunscreen_tpu.bfv import BfvParams
+    from sunscreen_tpu.compiler import fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Array, Cipher, Signed
+
+    @fhe_program(scheme="bfv")
+    def dot4(xs: Array[Cipher[Signed], 4], w: Cipher[Signed]):
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        return acc * w
+
+    from sunscreen_tpu.compiler import Compiler
+    params = BfvParams.insecure(poly_degree=256, limbs=2)
+    app = Compiler().fhe_program(dot4).with_params(params).compile()
+    rt = Runtime.new_fhe(params)
+    pub, priv = rt.generate_keys(seed=21, galois=False)
+    xs = [rt.encrypt(Signed(v), pub, seed=30 + i)
+          for i, v in enumerate((1, 2, 3, 4))]
+    w = rt.encrypt(Signed(5), pub, seed=40)
+    out = rt.run(app.get_program("dot4"), [xs, w], pub)
+    assert rt.decrypt(out[0], priv) == (1 + 2 + 3 + 4) * 5
