@@ -23,16 +23,17 @@ from sunscreen_tpu.math import ntt, primes, rns
 U64 = jnp.uint64
 
 AUX_PRIME_BITS = 56  # <= 56 keeps the MXU matmul-NTT bound (mntt.py)
+AUX_PRIME_BITS_U32 = 30  # u32 engine: every modulus < 2^30
 
 
-def _aux_base_size(params: BfvParams) -> int:
+def _aux_base_size(params: BfvParams, aux_bits: int) -> int:
     """#aux primes B so that B holds round(t*x/Q) for tensor coefficients:
     need prod(B)/2 > t*N*Q/4 (centered operands)."""
     bound_bits = (params.plain_modulus.bit_length()
                   + params.poly_degree.bit_length()
                   + params.q_product.bit_length() + 2)
     return max(len(params.coeff_modulus) + 1,
-               math.ceil(bound_bits / AUX_PRIME_BITS))
+               math.ceil(bound_bits / aux_bits))
 
 
 class BfvContext:
@@ -47,9 +48,17 @@ class BfvContext:
 
         # --- bases ---------------------------------------------------------
         self.q_base = rns.RnsBase(q_mods)
+        # engine word (u32 iff all moduli < 2^30): the aux/multiply base
+        # must stay inside the same engine so every hot array is one word
+        self.word = self.q_base.word
+        if self.word == m.U32:
+            assert params.special_modulus < (1 << 30), \
+                "u32 engine requires the special modulus < 2^30 too"
+        aux_bits = (AUX_PRIME_BITS_U32 if self.word == m.U32
+                    else AUX_PRIME_BITS)
         skip = tuple(q_mods) + (params.special_modulus,)
         aux = tuple(primes.gen_ntt_primes(
-            AUX_PRIME_BITS, _aux_base_size(params), n, skip=skip))
+            aux_bits, _aux_base_size(params, aux_bits), n, skip=skip))
         self.aux_base = rns.RnsBase(aux)
         self.mul_base = rns.RnsBase(q_mods + aux)          # Q ∪ B
         self.key_mods = q_mods + (params.special_modulus,)  # Q ∪ {p}
@@ -77,10 +86,12 @@ class BfvContext:
         # --- Δ = round(Q*m/t) tables (exact; see ops.scale_plain) -----------
         Q = params.q_product
         w = Q // t
+        wnp = np.uint32 if self.word == m.U32 else np.uint64
         self.delta_mod_q = jnp.asarray(np.array(
-            [w % q for q in q_mods], dtype=np.uint64))
+            [w % q for q in q_mods], dtype=wnp))
         self.delta_mod_q_sh = jnp.asarray(np.array(
-            [((w % q) << 64) // q for q in q_mods], dtype=np.uint64))
+            [m.w_shoup_host(w % q, q, self.word) for q in q_mods],
+            dtype=wnp))
         fr = (((Q % t) << 128) + t - 1) // t  # ceil; error positive
         self.delta_frac_hi = jnp.asarray(
             np.array([(fr >> 64) & ((1 << 64) - 1)], dtype=np.uint64))
@@ -90,7 +101,9 @@ class BfvContext:
         # p_sp * D_i mod key-modulus table for keyswitch key generation:
         # D_i = CRT idempotent of q_i in Q (1 mod q_i, 0 mod q_j).
         P = params.special_modulus
-        tab = np.empty((self.k, self.k + 1), dtype=np.uint64)
+        tab = np.empty((self.k, self.k + 1),
+                       dtype=np.uint32 if self.word == m.U32
+                       else np.uint64)
         for i in range(self.k):
             d_i = self.q_base.punctured[i] * self.q_base.inv_punctured[i]
             for j, qj in enumerate(self.key_mods):

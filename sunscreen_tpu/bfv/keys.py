@@ -66,8 +66,7 @@ def gen_secret_key(ctx: BfvContext, key) -> SecretKey:
 
 
 def _uniform_ntt(ctx, key, base):
-    return sampling.uniform_mod_q(
-        key, (ctx.n,), base.q_dev, base.ratio_hi_dev, base.ratio_lo_dev)
+    return sampling.uniform_mod_q(key, (ctx.n,), base)
 
 
 def _noise_ntt(ctx, key, base, plan):
@@ -96,9 +95,9 @@ def gen_ksw_key(ctx: BfvContext, sk: SecretKey, w_ntt_key, key) -> KswKey:
         a = _uniform_ntt(ctx, k_a, kb)
         e = _noise_ntt(ctx, k_e, kb, ctx.plan_key)
         fac = ctx.ksk_factor[i].reshape(ctx.k + 1, 1)
-        body = m.mul_mod(w_ntt_key, fac, q,
-                         kb.ratio_hi_dev.reshape(ctx.k + 1, 1),
-                         kb.ratio_lo_dev.reshape(ctx.k + 1, 1))
+        body = m.w_mul_mod(w_ntt_key, fac, q,
+                           kb.c0_dev.reshape(ctx.k + 1, 1),
+                           kb.c1_dev.reshape(ctx.k + 1, 1))
         mask = m.add_mod(ctx.plan_key.pointwise_mul(a, sk.s_ntt_key), e, q)
         k0s.append(m.sub_mod(body, mask, q))
         k1s.append(a)

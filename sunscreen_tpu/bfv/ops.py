@@ -47,11 +47,12 @@ def scale_plain(ctx: BfvContext, pt):
         pt[..., None, :], ctx.delta_frac_hi, ctx.delta_frac_lo,
         add_half=True)
     q = _q(ctx)
+    ptw = pt[..., None, :].astype(ctx.word)
     base = m.reduce_2q(
-        m.mul_mod_shoup(pt[..., None, :], ctx.delta_mod_q.reshape(ctx.k, 1),
-                        ctx.delta_mod_q_sh.reshape(ctx.k, 1), q), q)
+        m.w_shoup_mul(ptw, ctx.delta_mod_q.reshape(ctx.k, 1),
+                      ctx.delta_mod_q_sh.reshape(ctx.k, 1), q), q)
     # r < t <= q_i: single-word correction
-    r = jnp.broadcast_to(r_lo[..., None, :], base.shape)
+    r = jnp.broadcast_to(r_lo.astype(ctx.word)[..., None, :], base.shape)
     return m.add_mod(base, jnp.where(r >= q, r - q, r), q)
 
 
@@ -106,9 +107,7 @@ def encrypt_symmetric_return_components(ctx: BfvContext, sk: SecretKey,
     ... i.e. c0 = -(a*s + e) + Δm, c1 = a."""
     k_a, k_e = jax.random.split(key)
     q = _q(ctx)
-    a = sampling.uniform_mod_q(k_a, (ctx.n,), ctx.q_base.q_dev,
-                               ctx.q_base.ratio_hi_dev,
-                               ctx.q_base.ratio_lo_dev)
+    a = sampling.uniform_mod_q(k_a, (ctx.n,), ctx.q_base)
     e_small = sampling.cbd(k_e, (ctx.n,))
     e = sampling.signed_to_rns(e_small, ctx.q_base.q_dev)
     as_ = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(ctx.plan_q.fwd(a),
@@ -122,9 +121,7 @@ def encrypt_symmetric(ctx: BfvContext, sk: SecretKey, pt, key):
     """c = (-(a*s + e) + Δm, a). SEAL: `Encryptor::encrypt_symmetric`."""
     k_a, k_e = jax.random.split(key)
     q = _q(ctx)
-    a = sampling.uniform_mod_q(k_a, (ctx.n,), ctx.q_base.q_dev,
-                               ctx.q_base.ratio_hi_dev,
-                               ctx.q_base.ratio_lo_dev)
+    a = sampling.uniform_mod_q(k_a, (ctx.n,), ctx.q_base)
     e = sampling.signed_to_rns(sampling.cbd(k_e, (ctx.n,)),
                                ctx.q_base.q_dev)
     as_ = ctx.plan_q.inv(ctx.plan_q.pointwise_mul(ctx.plan_q.fwd(a),
@@ -198,7 +195,7 @@ def _pad_components(ct, n_comp):
     if have == n_comp:
         return ct
     pad = jnp.zeros(ct.shape[:-3] + (n_comp - have,) + ct.shape[-2:],
-                    dtype=U64)
+                    dtype=ct.dtype)
     return jnp.concatenate([ct, pad], axis=-3)
 
 
@@ -236,7 +233,7 @@ def multiply_plain(ctx: BfvContext, ct, pt):
     """ct * pt — plaintext lifted verbatim (t < min q_i), NTT pointwise.
     SEAL: `Evaluator::multiply_plain` (no Δ scaling, no relin needed)."""
     pt_hat = ctx.plan_q.fwd(
-        jnp.broadcast_to(pt[..., None, :],
+        jnp.broadcast_to(pt[..., None, :].astype(ctx.word),
                          pt.shape[:-1] + (ctx.k, ctx.n)))
     c_hat = ctx.plan_q.fwd(ct)
     out = ctx.plan_q.pointwise_mul(c_hat, pt_hat[..., None, :, :])
@@ -280,9 +277,9 @@ def multiply(ctx: BfvContext, a, b):
                 term = ctx.plan_mul.pointwise_mul(
                     a_hat[..., ia, :, :], b_hat[..., ib, :, :])
                 acc = term if acc is None else acc + term
-        outs.append(m.barrett_reduce_64(
-            acc, qm, ctx.mul_base.ratio_hi_dev.reshape(km, 1),
-            ctx.mul_base.ratio_lo_dev.reshape(km, 1)))
+        outs.append(m.w_reduce(
+            acc, qm, ctx.mul_base.c0_dev.reshape(km, 1),
+            ctx.mul_base.c1_dev.reshape(km, 1)))
     tensor = ctx.plan_mul.inv(jnp.stack(outs, axis=-3))
     scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
     return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
@@ -295,19 +292,20 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     kb = ctx.key_base
     kk = ctx.k + 1
     qk = kb.q_dev.reshape(kk, 1)
-    rh = kb.ratio_hi_dev.reshape(kk, 1)
-    rl = kb.ratio_lo_dev.reshape(kk, 1)
+    c0 = kb.c0_dev.reshape(kk, 1)
+    c1 = kb.c1_dev.reshape(kk, 1)
     # all k digits extended + transformed in ONE batched NTT:
     # digits [..., k, N] -> ext [..., k(digit), kk(limb), N]
-    ext = m.barrett_reduce_64(d[..., :, None, :], qk, rh, rl)
+    ext = m.w_reduce(d[..., :, None, :], qk, c0, c1)
     d_hat = ctx.plan_key.fwd(ext)
-    # inner products with the key rows: sum over the digit axis in
-    # plain u64 (k terms each < q < 2^56 cannot wrap) + one reduction —
-    # residues are identical to the add_mod chain (bit-exact)
+    # inner products with the key rows: sum over the digit axis (u64
+    # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32
+    # engine: widened sums) + one reduction — residues are identical to
+    # the add_mod chain (bit-exact)
     t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
     t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
-    acc0 = m.barrett_reduce_64(jnp.sum(t0, axis=-3), qk, rh, rl)
-    acc1 = m.barrett_reduce_64(jnp.sum(t1, axis=-3), qk, rh, rl)
+    acc0 = m.w_sum_reduce(t0, qk, c0, c1, axis=-3)
+    acc1 = m.w_sum_reduce(t1, qk, c0, c1, axis=-3)
     both = ctx.plan_key.inv(jnp.stack([acc0, acc1], axis=-3))
     u0 = both[..., 0, :, :]
     u1 = both[..., 1, :, :]

@@ -31,6 +31,34 @@ MAX_LOG_Q = {
 # multiply noise floor — and give Q 4 more budget bits.
 SEALISH_MAX_LIMB_BITS = 56
 
+# u32 engine: every modulus < 2^30 -> uint32 ciphertext storage and
+# native 32-bit modular arithmetic on TPU (math/modular.py u32 section;
+# measured round-3 lever per benchmarks/PERF_NOTES.md). More, smaller
+# limbs than the u64 engine at the same total log(Q*P).
+U32_MAX_LIMB_BITS = 30
+
+
+def default_moduli_u32(poly_degree: int, security: int = 128
+                       ) -> tuple[tuple[int, ...], int]:
+    """u32-engine analogue of `default_moduli`: 30-bit-capped ciphertext
+    primes + one 30-bit-capped special keyswitch prime inside the
+    HE-standard budget."""
+    total = MAX_LOG_Q[security][poly_degree]
+    special_bits = min(U32_MAX_LIMB_BITS, max(total // 3, 2))
+    rem = total - special_bits
+    count = max(1, math.ceil(rem / U32_MAX_LIMB_BITS))
+    base = rem // count
+    sizes = [base + (1 if i < rem - base * count else 0)
+             for i in range(count)]
+    special = primes.gen_ntt_primes(special_bits, 1, poly_degree)[0]
+    qs: list[int] = []
+    for b in sorted(set(sizes)):
+        need = sizes.count(b)
+        qs += primes.gen_ntt_primes(b, need, poly_degree,
+                                    skip=tuple([special] + qs))
+    assert len(qs) == count
+    return tuple(sorted(qs)), special
+
 
 def batching_plain_modulus(poly_degree: int, bits: int) -> int:
     """Smallest-count prime of `bits` bits with p = 1 mod 2N (enables SIMD
@@ -86,6 +114,39 @@ class BfvParams:
                              if batching else 1 << 18)
         qs, sp = default_moduli(poly_degree, security)
         return BfvParams(poly_degree, plain_modulus, qs, sp, security)
+
+    @staticmethod
+    def default_u32(poly_degree: int, plain_modulus: int | None = None,
+                    security: int = 128, batching: bool = True
+                    ) -> "BfvParams":
+        """u32-engine defaults: all moduli < 2^30 -> uint32 ciphertext
+        storage (see `default_moduli_u32`). Same plaintext space and
+        security budget as `default`; more (smaller) RNS limbs."""
+        if plain_modulus is None:
+            plain_modulus = (batching_plain_modulus(poly_degree, 20)
+                             if batching else 1 << 18)
+        qs, sp = default_moduli_u32(poly_degree, security)
+        return BfvParams(poly_degree, plain_modulus, qs, sp, security)
+
+    @staticmethod
+    def insecure_u32(poly_degree: int = 1024,
+                     plain_modulus: int | None = None,
+                     limbs: int = 3, limb_bits: int = 28) -> "BfvParams":
+        """Small u32-engine test parameters (every modulus < 2^30)."""
+        assert limb_bits + 2 <= U32_MAX_LIMB_BITS
+        if plain_modulus is None:
+            plain_modulus = batching_plain_modulus(poly_degree, 16)
+        sp = primes.gen_ntt_primes(limb_bits + 2, 1, poly_degree)[0]
+        qs = tuple(primes.gen_ntt_primes(limb_bits, limbs, poly_degree,
+                                         skip=(sp,)))
+        return BfvParams(poly_degree, plain_modulus, qs, sp,
+                         security_level=0)
+
+    @property
+    def word_bits(self) -> int:
+        """Engine word: 32 iff every modulus < 2^30 (see math/modular)."""
+        mods = self.coeff_modulus + (self.special_modulus,)
+        return 32 if max(q.bit_length() for q in mods) <= 30 else 64
 
     @staticmethod
     def insecure(poly_degree: int = 1024, plain_modulus: int | None = None,

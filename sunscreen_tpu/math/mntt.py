@@ -64,14 +64,15 @@ def _u8_limbs_host(mat: np.ndarray, n_limbs: int) -> np.ndarray:
     return out
 
 
-def _build_big(m_small: np.ndarray, n_limbs: int) -> np.ndarray:
+def _build_big(m_small: np.ndarray, n_limbs: int, wb: int) -> np.ndarray:
     """[k, n_in, n_out] u64 DFT matrix -> block-convolution operand
-    [k, n_in*8, n_c*n_out] u8 with big[:, i*8 + a, c*n_out + j] =
+    [k, n_in*wb, n_c*n_out] u8 with big[:, i*wb + a, c*n_out + j] =
     byte_b(M[i, j]) where b = c - a (zero outside 0..nl-1; rows for
-    byte indices a >= nl are zero).
+    byte indices a >= nl are zero). `wb` = engine word bytes (8 for the
+    u64 engine, 4 for the u32 engine).
 
-    The A side is bitcast u64 -> [..., n_in, 8] u8 and reshaped to a
-    single fused contraction axis [..., n_in*8] (a pure view — no
+    The A side is bitcast word -> [..., n_in, wb] u8 and reshaped to a
+    single fused contraction axis [..., n_in*wb] (a pure view — no
     strided byte slices), so ONE MXU einsum computes ALL
     limb-convolution partials P_c = sum_{a+b=c} A_a M_b. The earlier
     49-separate-dots form wrote 49 full-size i32 arrays through HBM
@@ -80,17 +81,17 @@ def _build_big(m_small: np.ndarray, n_limbs: int) -> np.ndarray:
     k, n_in, n_out = m_small.shape
     limbs = _u8_limbs_host(m_small, n_limbs)          # [nl, k, n_in, n_out]
     n_c = 2 * n_limbs - 1
-    big = np.zeros((k, n_in * 8, n_c * n_out), dtype=np.uint8)
-    for a in range(n_limbs):
+    big = np.zeros((k, n_in * wb, n_c * n_out), dtype=np.uint8)
+    for a in range(min(n_limbs, wb)):
         for c in range(n_c):
             b = c - a
             if 0 <= b < n_limbs:
-                big[:, a::8, c * n_out:(c + 1) * n_out] = limbs[b]
+                big[:, a::wb, c * n_out:(c + 1) * n_out] = limbs[b]
     return big
 
 
-def _mod_matmul(a_u64, m_big, q, r_hi, r_lo, n_limbs: int, n_out: int,
-                spec: str):
+def _mod_matmul(a_word, m_big, q, r_hi, r_lo, n_limbs: int, n_out: int,
+                spec: str, word):
     """Exact modular matrix transform on the MXU with NO explicit
     transposes: `spec` is an einsum over the bitcast operand
     `a8[..., k, <x>, <y>, l]` and `m_big[k, n_in, 8, n_c*n_out]`,
@@ -105,8 +106,9 @@ def _mod_matmul(a_u64, m_big, q, r_hi, r_lo, n_limbs: int, n_out: int,
     via 32-bit-aligned slots, then one Barrett-128 per element.
     """
     n_c = 2 * n_limbs - 1
-    a8 = jax.lax.bitcast_convert_type(a_u64, jnp.uint8)
-    mb = m_big.reshape(m_big.shape[0], m_big.shape[1] // 8, 8,
+    a8 = jax.lax.bitcast_convert_type(a_word, jnp.uint8)
+    wb = a8.shape[-1] if a_word.ndim < a8.ndim else 8
+    mb = m_big.reshape(m_big.shape[0], m_big.shape[1] // wb, wb,
                        m_big.shape[2])
     p = jnp.einsum(spec, a8, mb, preferred_element_type=I32)
     # `p` has the n_c*n_out axis at position -2 (specs emit "...p<f>")
@@ -130,7 +132,7 @@ def _mod_matmul(a_u64, m_big, q, r_hi, r_lo, n_limbs: int, n_out: int,
     lo = slots[0] + ((slots[1] & U64(0xFFFFFFFF)) << U64(32))
     carry = jnp.where(lo < slots[0], U64(1), U64(0))
     hi = (slots[1] >> U64(32)) + carry + slots[2] + (slots[3] << U64(32))
-    return m.barrett_reduce_128(hi, lo, q, r_hi, r_lo)
+    return m.barrett_reduce_128(hi, lo, q, r_hi, r_lo).astype(word)
 
 
 class MatmulNttPlan:
@@ -153,11 +155,14 @@ class MatmulNttPlan:
         assert max_bits <= 57, "q too large for exact u8-limb matmul"
         nl = (max_bits + 7) // 8
         self.n_limbs = nl
+        self.word = m.word_dtype_for(moduli)
+        wnp = np.uint32 if self.word == m.U32 else np.uint64
+        self.word_bytes = 4 if self.word == m.U32 else 8
 
-        tw1 = np.empty((k, n1, n2), dtype=np.uint64)
-        tw1_sh = np.empty((k, n1, n2), dtype=np.uint64)
-        itw1 = np.empty((k, n1, n2), dtype=np.uint64)
-        itw1_sh = np.empty((k, n1, n2), dtype=np.uint64)
+        tw1 = np.empty((k, n1, n2), dtype=wnp)
+        tw1_sh = np.empty((k, n1, n2), dtype=wnp)
+        itw1 = np.empty((k, n1, n2), dtype=wnp)
+        itw1_sh = np.empty((k, n1, n2), dtype=wnp)
         m2 = np.empty((k, n2, n2), dtype=np.uint64)
         m1 = np.empty((k, n1, n1), dtype=np.uint64)
         im2 = np.empty((k, n2, n2), dtype=np.uint64)
@@ -195,33 +200,44 @@ class MatmulNttPlan:
                     itw1[j, i1, j2] = iacc
                     acc = acc * wi % q
                     iacc = iacc * iwi % q
-            tw1_sh[j] = _shoup_arr(tw1[j], q)
-            itw1_sh[j] = _shoup_arr(itw1[j], q)
+            tw1_sh[j] = _shoup_arr(tw1[j], q, self.word)
+            itw1_sh[j] = _shoup_arr(itw1[j], q, self.word)
             rh, rl = m.barrett_ratio(q)
             ratio_hi[j] = rh
             ratio_lo[j] = rl
 
-        self.q = jnp.asarray(np.array(moduli, dtype=np.uint64))
+        wb = self.word_bytes
+        self.q = jnp.asarray(np.array(moduli, dtype=wnp))
+        self.q64 = jnp.asarray(np.array(moduli, dtype=np.uint64))
         self.tw1 = jnp.asarray(tw1)
         self.tw1_sh = jnp.asarray(tw1_sh)
         self.itw1 = jnp.asarray(itw1)
         self.itw1_sh = jnp.asarray(itw1_sh)
-        self.m2_big = jnp.asarray(_build_big(m2, nl))
-        self.m1_big = jnp.asarray(_build_big(m1, nl))
-        self.im2_big = jnp.asarray(_build_big(im2, nl))
-        self.im1_big = jnp.asarray(_build_big(im1, nl))
+        self.m2_big = jnp.asarray(_build_big(m2, nl, wb))
+        self.m1_big = jnp.asarray(_build_big(m1, nl, wb))
+        self.im2_big = jnp.asarray(_build_big(im2, nl, wb))
+        self.im1_big = jnp.asarray(_build_big(im1, nl, wb))
         self.ratio_hi = jnp.asarray(ratio_hi)
         self.ratio_lo = jnp.asarray(ratio_lo)
+        consts = [m.w_consts_host(q, self.word) for q in moduli]
+        self.c0 = jnp.asarray(np.array([c[0] for c in consts], dtype=wnp))
+        self.c1 = jnp.asarray(np.array([c[1] for c in consts], dtype=wnp))
 
     # -- helpers -------------------------------------------------------------
 
     def _q3(self):
+        """u64 Barrett views for the 128-bit recombination."""
         k = len(self.moduli)
-        return (self.q.reshape(k, 1, 1), self.ratio_hi.reshape(k, 1, 1),
+        return (self.q64.reshape(k, 1, 1), self.ratio_hi.reshape(k, 1, 1),
                 self.ratio_lo.reshape(k, 1, 1))
 
+    def _qw3(self):
+        """Word views for the Shoup twiddle pass."""
+        k = len(self.moduli)
+        return self.q.reshape(k, 1, 1)
+
     def _tw(self, x, w, w_sh, q):
-        return m.reduce_2q(m.mul_mod_shoup(x, w, w_sh, q), q)
+        return m.reduce_2q(m.w_shoup_mul(x, w, w_sh, q), q)
 
     # -- transforms ----------------------------------------------------------
 
@@ -238,11 +254,13 @@ class MatmulNttPlan:
         q3, rh3, rl3 = self._q3()
         # Y[i1, j2] = sum_{i2} A[i2, i1] M2'[i2, j2]
         y = _mod_matmul(a, self.m2_big, q3, rh3, rl3, self.n_limbs, n2,
-                        spec="...kjil,kjlp->...kip")  # [i1, (c,j2)]
-        y = self._tw(y, self.tw1, self.tw1_sh, q3)    # [i1, j2]
+                        spec="...kjil,kjlp->...kip",
+                        word=self.word)               # [i1, (c,j2)]
+        y = self._tw(y, self.tw1, self.tw1_sh, self._qw3())  # [i1, j2]
         # Z[j1, j2] = sum_{i1} M1[j1, i1] Y[i1, j2]
         z = _mod_matmul(y, self.m1_big, q3, rh3, rl3, self.n_limbs, n1,
-                        spec="...kijl,kilp->...kpj")  # [(c,j1), j2]
+                        spec="...kijl,kilp->...kpj",
+                        word=self.word)               # [(c,j1), j2]
         return z.reshape(*z.shape[:-2], n)
 
     def inv(self, x):
@@ -252,12 +270,14 @@ class MatmulNttPlan:
         q3, rh3, rl3 = self._q3()
         # U[i1, j2] = sum_{j1} iM1[i1, j1] Z[j1, j2]
         u = _mod_matmul(z, self.im1_big, q3, rh3, rl3, self.n_limbs, n1,
-                        spec="...kijl,kilp->...kpj")  # [(c,i1), j2]
-        u = self._tw(u, self.itw1, self.itw1_sh, q3)  # [i1, j2]
+                        spec="...kijl,kilp->...kpj",
+                        word=self.word)               # [(c,i1), j2]
+        u = self._tw(u, self.itw1, self.itw1_sh, self._qw3())  # [i1, j2]
         # V[i2, i1] = sum_{j2} U[i1, j2] iM2'[j2, i2]  (emitted
         # transposed so the final reshape is the natural coeff order)
         v = _mod_matmul(u, self.im2_big, q3, rh3, rl3, self.n_limbs, n2,
-                        spec="...kijl,kjlp->...kpi")  # [(c,i2), i1]
+                        spec="...kijl,kjlp->...kpi",
+                        word=self.word)               # [(c,i2), i1]
         return v.reshape(*v.shape[:-2], n)
 
     # -- pointwise helpers ---------------------------------------------------
@@ -265,9 +285,9 @@ class MatmulNttPlan:
     def pointwise_mul(self, a, b):
         """Exact (a * b) mod q per limb on NTT-domain arrays [..., k, N]."""
         k = len(self.moduli)
-        return m.mul_mod(a, b, self.q.reshape(k, 1),
-                         self.ratio_hi.reshape(k, 1),
-                         self.ratio_lo.reshape(k, 1))
+        return m.w_mul_mod(a, b, self.q.reshape(k, 1),
+                           self.c0.reshape(k, 1),
+                           self.c1.reshape(k, 1))
 
     def negacyclic_mul(self, a, b):
         """Full negacyclic polynomial product of coefficient-domain
@@ -275,9 +295,11 @@ class MatmulNttPlan:
         return self.inv(self.pointwise_mul(self.fwd(a), self.fwd(b)))
 
 
-def _shoup_arr(ws: np.ndarray, q: int) -> np.ndarray:
+def _shoup_arr(ws: np.ndarray, q: int, word) -> np.ndarray:
     flat = ws.reshape(-1)
-    out = np.array([(int(w) << 64) // q for w in flat], dtype=np.uint64)
+    wnp = np.uint32 if word == m.U32 else np.uint64
+    out = np.array([m.w_shoup_host(int(w), q, word) for w in flat],
+                   dtype=wnp)
     return out.reshape(ws.shape)
 
 

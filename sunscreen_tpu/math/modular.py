@@ -141,6 +141,134 @@ def reduce_2q(x, q):
 
 
 # ---------------------------------------------------------------------------
+# u32 engine (small moduli q < 2^30): the TPU-native fast path.
+#
+# Round-2 measurements on the v5e (benchmarks/PERF_NOTES.md) showed the
+# u64 emulation chains are the throughput ceiling: every 64-bit multiply
+# synthesizes ~4 32-bit multiplies and XLA does not fuse the chains.
+# With all moduli < 2^30 ("u32 engine"), ciphertexts are stored uint32
+# (half the HBM traffic) and every modular primitive is 1-6 32-bit
+# products instead of 4-12 synthesized 64-bit ones. Replaces the same
+# SEAL small-modulus arithmetic as the u64 path above (SEAL supports
+# word-size choice too; cf. `seal_fhe` Modulus bounds).
+#
+# The `w_*` wrappers dispatch on the dtype of `q` so the RNS/NTT/BFV
+# layers are word-generic: a modulus set with max bits <= 30 uses the
+# u32 engine, anything else the u64 engine.
+# ---------------------------------------------------------------------------
+
+U32 = jnp.uint32
+
+U32_MAX_MODULUS_BITS = 30  # 4q < 2^32 (lazy headroom) and Shoup q < beta/4
+
+
+def word_dtype_for(moduli) -> "jnp.dtype":
+    """Engine word for a modulus set: u32 iff every q < 2^30."""
+    return (U32 if max(int(q).bit_length() for q in moduli)
+            <= U32_MAX_MODULUS_BITS else U64)
+
+
+def mul_hi32(a, b):
+    """High 32 bits of the exact 32x32 product (reference path: via a
+    single widening u64 multiply; the Pallas kernels use 16-bit halves)."""
+    return ((a.astype(U64) * b.astype(U64)) >> jnp.uint64(32)).astype(U32)
+
+
+def shoup_ratio32(w: int, q: int) -> int:
+    """Host-side Shoup precomputation floor(w * 2^32 / q), w < q < 2^30."""
+    assert 0 <= w < q < (1 << U32_MAX_MODULUS_BITS)
+    return (w << 32) // q
+
+
+def mul_mod_shoup32(x, w, w_sh, q):
+    """(x * w) mod q, lazy: x in [0, 2q), w < q < 2^30, result in [0, 2q).
+    Harvey/Shoup with beta = 2^32 (valid since q < beta/4)."""
+    hi = mul_hi32(x, w_sh)
+    return w * x - hi * q  # u32 wrap; provably in [0, 2q)
+
+
+def barrett32_consts(q: int) -> tuple[int, int]:
+    """Host-side (mu, s1) for `reduce_long32`: s1 = max(0, 2b-32),
+    mu = floor(2^(s1+32) / q) < 2^(b+2) <= 2^32."""
+    b = q.bit_length()
+    s1 = max(0, 2 * b - 32)
+    mu = (1 << (s1 + 32)) // q
+    assert mu < (1 << 32)
+    return mu, s1
+
+
+def reduce_long32(x, q, mu, s1):
+    """Reduce u64 x < 2^(2*bits(q)) (and in any case < 4q*2^s1... the
+    product/sum bounds used by callers) modulo q < 2^30 -> u32 in [0, q).
+
+    qhat = floor((x >> s1) * mu / 2^32) with mu = floor(2^(s1+32)/q)
+    under-estimates floor(x/q) by < 4, so r = x - qhat*q < 4q < 2^32 is
+    exact in u32 wrap arithmetic; two conditional subtracts (2q then q)
+    normalize. Verified exhaustively-at-random across 17..30-bit moduli
+    in tests/test_modular.py.
+    """
+    x = x.astype(U64)
+    s1 = jnp.asarray(s1, U64)
+    mu = jnp.asarray(mu, U64)
+    qhat = (((x >> s1) * mu) >> jnp.uint64(32)).astype(U32)
+    r = x.astype(U32) - qhat * q  # wrap-exact: true r < 4q < 2^32
+    q2 = q + q
+    r = jnp.where(r >= q2, r - q2, r)
+    return jnp.where(r >= q, r - q, r)
+
+
+def mul_mod32(a, b, q, mu, s1):
+    """(a * b) mod q exact for a, b in [0, q), q < 2^30."""
+    return reduce_long32(a.astype(U64) * b.astype(U64), q, mu, s1)
+
+
+# -- word-generic wrappers (dispatch on q.dtype) ----------------------------
+
+
+def w_shoup_host(w: int, q: int, word) -> int:
+    return shoup_ratio32(w, q) if word == U32 else shoup_ratio(w, q)
+
+
+def w_consts_host(q: int, word) -> tuple[int, int]:
+    """(c0, c1) reduction constants: u64 -> Barrett (ratio_hi, ratio_lo);
+    u32 -> (mu, s1)."""
+    if word == U32:
+        return barrett32_consts(q)
+    return barrett_ratio(q)
+
+
+def w_shoup_mul(x, w, w_sh, q):
+    """Lazy Shoup multiply, word-generic: x in [0,2q) -> [0,2q)."""
+    if q.dtype == U32:
+        return mul_mod_shoup32(x, w, w_sh, q)
+    return mul_mod_shoup(x, w, w_sh, q)
+
+
+def w_mul_mod(a, b, q, c0, c1):
+    """Exact (a*b) mod q for a, b in [0, q), word-generic."""
+    if q.dtype == U32:
+        return mul_mod32(a, b, q, c0, c1)
+    return mul_mod(a, b, q, c0, c1)
+
+
+def w_reduce(x, q, c0, c1):
+    """Reduce a raw word (u32 engine: u64 sums/products < 2^(2b);
+    u64 engine: any u64) to [0, q)."""
+    if q.dtype == U32:
+        return reduce_long32(x, q, c0, c1)
+    return barrett_reduce_64(x, q, c0, c1)
+
+
+def w_sum_reduce(x, q, c0, c1, axis=-3):
+    """Exact sum of reduced residues along `axis`, then one reduction.
+    u32 engine: accumulate widened (k*q can exceed 2^32); u64: raw sums
+    cannot wrap for k*q < 2^64 (all callers)."""
+    if q.dtype == U32:
+        return reduce_long32(jnp.sum(x.astype(U64), axis=axis), q, c0, c1)
+    return barrett_reduce_64(jnp.sum(x, axis=axis), q, c0, c1)
+
+
+# ---------------------------------------------------------------------------
 # Host-side (python int) number theory helpers. These run at plan-build
 # time only; nothing here touches the device.
 # ---------------------------------------------------------------------------

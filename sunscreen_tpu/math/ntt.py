@@ -65,8 +65,10 @@ def _bit_reverse(x: int, bits: int) -> int:
     return r
 
 
-def _shoup_table(ws: list[int], q: int) -> np.ndarray:
-    return np.array([(w << 64) // q for w in ws], dtype=np.uint64)
+def _shoup_table(ws: list[int], q: int, word=None) -> np.ndarray:
+    from sunscreen_tpu.math.modular import U32, w_shoup_host
+    wnp = np.uint32 if word == U32 else np.uint64
+    return np.array([w_shoup_host(w, q, word) for w in ws], dtype=wnp)
 
 
 class NttPlan:
@@ -84,15 +86,17 @@ class NttPlan:
         self.moduli = tuple(moduli)
         self.mode = mode
         k = len(moduli)
+        self.word = m.word_dtype_for(moduli)
+        wnp = np.uint32 if self.word == m.U32 else np.uint64
 
-        psi_rev = np.empty((k, n), dtype=np.uint64)
-        psi_rev_sh = np.empty((k, n), dtype=np.uint64)
-        ipsi_rev = np.empty((k, n), dtype=np.uint64)
-        ipsi_rev_sh = np.empty((k, n), dtype=np.uint64)
-        n_inv = np.empty((k,), dtype=np.uint64)
-        n_inv_sh = np.empty((k,), dtype=np.uint64)
-        ratio_hi = np.empty((k,), dtype=np.uint64)
-        ratio_lo = np.empty((k,), dtype=np.uint64)
+        psi_rev = np.empty((k, n), dtype=wnp)
+        psi_rev_sh = np.empty((k, n), dtype=wnp)
+        ipsi_rev = np.empty((k, n), dtype=wnp)
+        ipsi_rev_sh = np.empty((k, n), dtype=wnp)
+        n_inv = np.empty((k,), dtype=wnp)
+        n_inv_sh = np.empty((k,), dtype=wnp)
+        c0 = np.empty((k,), dtype=wnp)
+        c1 = np.empty((k,), dtype=wnp)
 
         for j, q in enumerate(moduli):
             assert q % (2 * n) == 1, f"q={q} is not NTT-friendly for N={n}"
@@ -102,26 +106,26 @@ class NttPlan:
                 pows[i] = pows[i - 1] * psi % q
             fw = [pows[_bit_reverse(i, self.log_n)] for i in range(n)]
             iw = [pow(w, -1, q) for w in fw]
-            psi_rev[j] = np.array(fw, dtype=np.uint64)
-            psi_rev_sh[j] = _shoup_table(fw, q)
-            ipsi_rev[j] = np.array(iw, dtype=np.uint64)
-            ipsi_rev_sh[j] = _shoup_table(iw, q)
+            psi_rev[j] = np.array(fw, dtype=wnp)
+            psi_rev_sh[j] = _shoup_table(fw, q, self.word)
+            ipsi_rev[j] = np.array(iw, dtype=wnp)
+            ipsi_rev_sh[j] = _shoup_table(iw, q, self.word)
             ninv = pow(n, -1, q)
             n_inv[j] = ninv
-            n_inv_sh[j] = (ninv << 64) // q
-            rh, rl = m.barrett_ratio(q)
-            ratio_hi[j] = rh
-            ratio_lo[j] = rl
+            n_inv_sh[j] = m.w_shoup_host(ninv, q, self.word)
+            ch, cl = m.w_consts_host(q, self.word)
+            c0[j] = ch
+            c1[j] = cl
 
-        self.q = jnp.asarray(np.array(moduli, dtype=np.uint64))      # (k,)
+        self.q = jnp.asarray(np.array(moduli, dtype=wnp))      # (k,)
         self.psi_rev = jnp.asarray(psi_rev)
         self.psi_rev_sh = jnp.asarray(psi_rev_sh)
         self.ipsi_rev = jnp.asarray(ipsi_rev)
         self.ipsi_rev_sh = jnp.asarray(ipsi_rev_sh)
         self.n_inv = jnp.asarray(n_inv)
         self.n_inv_sh = jnp.asarray(n_inv_sh)
-        self.ratio_hi = jnp.asarray(ratio_hi)
-        self.ratio_lo = jnp.asarray(ratio_lo)
+        self.c0 = jnp.asarray(c0)
+        self.c1 = jnp.asarray(c1)
 
     # -- compact (Pease constant-geometry) stage tables ---------------------
 
@@ -142,10 +146,11 @@ class NttPlan:
             return self._stages
         n, log_n, k = self.n, self.log_n, len(self.moduli)
         half = n // 2
-        W = np.empty((log_n, k, half), dtype=np.uint64)
-        WS = np.empty((log_n, k, half), dtype=np.uint64)
-        IW = np.empty((log_n, k, half), dtype=np.uint64)
-        IWS = np.empty((log_n, k, half), dtype=np.uint64)
+        wnp = np.uint32 if self.word == m.U32 else np.uint64
+        W = np.empty((log_n, k, half), dtype=wnp)
+        WS = np.empty((log_n, k, half), dtype=wnp)
+        IW = np.empty((log_n, k, half), dtype=wnp)
+        IWS = np.empty((log_n, k, half), dtype=wnp)
         psi = np.asarray(self.psi_rev)
         psi_sh = np.asarray(self.psi_rev_sh)
         ipsi = np.asarray(self.ipsi_rev)
@@ -187,7 +192,7 @@ class NttPlan:
 
         def body(s, x):
             u = x[..., :half]
-            v = m.reduce_2q(m.mul_mod_shoup(
+            v = m.reduce_2q(m.w_shoup_mul(
                 x[..., half:], W[s], WS[s], q), q)
             a = m.add_mod(u, v, q)
             b = m.sub_mod(u, v, q)
@@ -213,14 +218,14 @@ class NttPlan:
             y1 = xv[..., 1]
             u = m.add_mod(y0, y1, q)
             d = m.sub_mod(y0, y1, q)
-            v = m.reduce_2q(m.mul_mod_shoup(d, IW[s], IWS[s], q), q)
+            v = m.reduce_2q(m.w_shoup_mul(d, IW[s], IWS[s], q), q)
             return jnp.concatenate((u, v), axis=-1)
 
         x = jax.lax.fori_loop(0, self.log_n, body, x, unroll=False)
         q2 = self.q.reshape(k, 1)
         return m.reduce_2q(
-            m.mul_mod_shoup(x, self.n_inv.reshape(k, 1),
-                            self.n_inv_sh.reshape(k, 1), q2), q2)
+            m.w_shoup_mul(x, self.n_inv.reshape(k, 1),
+                          self.n_inv_sh.reshape(k, 1), q2), q2)
 
     # -- transforms --------------------------------------------------------
 
@@ -239,7 +244,7 @@ class NttPlan:
             v0 = xv[..., 1, :]
             S = self.psi_rev[:, mm:2 * mm].reshape(k, mm, 1)
             Ssh = self.psi_rev_sh[:, mm:2 * mm].reshape(k, mm, 1)
-            v = m.reduce_2q(m.mul_mod_shoup(v0, S, Ssh, q3), q3)
+            v = m.reduce_2q(m.w_shoup_mul(v0, S, Ssh, q3), q3)
             x = jnp.stack(
                 (m.add_mod(u, v, q3), m.sub_mod(u, v, q3)), axis=-2
             ).reshape(*batch, k, n)
@@ -262,21 +267,21 @@ class NttPlan:
             d = m.sub_mod(y0, y1, q3)
             iS = self.ipsi_rev[:, mm:2 * mm].reshape(k, mm, 1)
             iSsh = self.ipsi_rev_sh[:, mm:2 * mm].reshape(k, mm, 1)
-            v = m.reduce_2q(m.mul_mod_shoup(d, iS, iSsh, q3), q3)
+            v = m.reduce_2q(m.w_shoup_mul(d, iS, iSsh, q3), q3)
             x = jnp.stack((u, v), axis=-2).reshape(*batch, k, n)
         q2 = self.q.reshape(k, 1)
         return m.reduce_2q(
-            m.mul_mod_shoup(x, self.n_inv.reshape(k, 1),
-                            self.n_inv_sh.reshape(k, 1), q2), q2)
+            m.w_shoup_mul(x, self.n_inv.reshape(k, 1),
+                          self.n_inv_sh.reshape(k, 1), q2), q2)
 
     # -- pointwise helpers --------------------------------------------------
 
     def pointwise_mul(self, a, b):
         """Exact (a * b) mod q per limb on NTT-domain arrays [..., k, N]."""
         k = len(self.moduli)
-        return m.mul_mod(a, b, self.q.reshape(k, 1),
-                         self.ratio_hi.reshape(k, 1),
-                         self.ratio_lo.reshape(k, 1))
+        return m.w_mul_mod(a, b, self.q.reshape(k, 1),
+                           self.c0.reshape(k, 1),
+                           self.c1.reshape(k, 1))
 
     def negacyclic_mul(self, a, b):
         """Full negacyclic polynomial product of coefficient-domain inputs."""

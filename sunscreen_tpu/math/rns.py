@@ -62,13 +62,25 @@ class RnsBase:
         self.inv_punctured = [
             pow(p % q, -1, q) for p, q in zip(self.punctured, self.moduli)
         ]
-        # device tables
-        self.q_dev = jnp.asarray(np.array(self.moduli, dtype=np.uint64))
+        # engine word: u32 iff every modulus < 2^30 (see modular.py u32
+        # section — halves HBM traffic and replaces synthesized u64
+        # chains with native 32-bit products on TPU)
+        self.word = m.word_dtype_for(self.moduli)
+        wnp = np.uint32 if self.word == m.U32 else np.uint64
+        self.q_dev = jnp.asarray(np.array(self.moduli, dtype=wnp))
         self.inv_punc_dev = jnp.asarray(
-            np.array(self.inv_punctured, dtype=np.uint64))
+            np.array(self.inv_punctured, dtype=wnp))
         self.inv_punc_shoup_dev = jnp.asarray(np.array(
-            [(v << 64) // q for v, q in zip(self.inv_punctured, self.moduli)],
-            dtype=np.uint64))
+            [m.w_shoup_host(v, q, self.word)
+             for v, q in zip(self.inv_punctured, self.moduli)], dtype=wnp))
+        consts = [m.w_consts_host(q, self.word) for q in self.moduli]
+        self.c0_dev = jnp.asarray(np.array([c[0] for c in consts],
+                                           dtype=wnp))
+        self.c1_dev = jnp.asarray(np.array([c[1] for c in consts],
+                                           dtype=wnp))
+        # always-u64 views for wide paths (uniform sampling via 128-bit
+        # Barrett, fixed-point dots)
+        self.q64_dev = jnp.asarray(np.array(self.moduli, dtype=np.uint64))
         ratios = [m.barrett_ratio(q) for q in self.moduli]
         self.ratio_hi_dev = jnp.asarray(
             np.array([r[0] for r in ratios], dtype=np.uint64))
@@ -116,14 +128,15 @@ class RnsBase:
         """y_i = [x_i * (C/c_i)^{-1}]_{c_i} for x of shape [..., k, N]."""
         k = self.k
         q = self.q_dev.reshape(k, 1)
-        y = m.mul_mod_shoup(x, self.inv_punc_dev.reshape(k, 1),
-                            self.inv_punc_shoup_dev.reshape(k, 1), q)
+        y = m.w_shoup_mul(x, self.inv_punc_dev.reshape(k, 1),
+                          self.inv_punc_shoup_dev.reshape(k, 1), q)
         return m.reduce_2q(y, q)
 
     def reduce_u64(self, x, modulus_index: int):
-        """Barrett-reduce arbitrary u64 values modulo moduli[i]."""
+        """Barrett-reduce arbitrary u64 values modulo moduli[i]
+        (always-u64 path; returns u64)."""
         return m.barrett_reduce_64(
-            x, self.q_dev[modulus_index],
+            x, self.q64_dev[modulus_index],
             self.ratio_hi_dev[modulus_index], self.ratio_lo_dev[modulus_index])
 
 
@@ -140,7 +153,9 @@ def fixed_point_dot(y, phi_hi, phi_lo, add_half: bool):
     into 32-bit halves and accumulate per-column sums over the limb axis
     (each column sum < k * 2^33 — exact in u64 for k <= 2^30), then do one
     carry-propagation pass. Fully vectorized, no loops over elements.
+    Accepts u32-engine inputs (widened on entry).
     """
+    y = y.astype(U64)
     k = y.shape[-2]
     ph = phi_hi.reshape(k, 1)
     plo = phi_lo.reshape(k, 1)
@@ -182,14 +197,15 @@ class BaseConverter:
     def __init__(self, src: RnsBase, dst: RnsBase):
         self.src, self.dst = src, dst
         ks, kd = src.k, dst.k
-        theta = np.empty((ks, kd), dtype=np.uint64)
-        theta_sh = np.empty((ks, kd), dtype=np.uint64)
-        c_mod_d = np.empty((kd,), dtype=np.uint64)
+        wnp = np.uint32 if dst.word == m.U32 else np.uint64
+        theta = np.empty((ks, kd), dtype=wnp)
+        theta_sh = np.empty((ks, kd), dtype=wnp)
+        c_mod_d = np.empty((kd,), dtype=wnp)
         for j, d in enumerate(dst.moduli):
             for i in range(ks):
                 t = src.punctured[i] % d
                 theta[i, j] = t
-                theta_sh[i, j] = (t << 64) // d
+                theta_sh[i, j] = m.w_shoup_host(t, d, dst.word)
             c_mod_d[j] = src.product % d
         self.theta = jnp.asarray(theta)
         self.theta_sh = jnp.asarray(theta_sh)
@@ -201,17 +217,19 @@ class BaseConverter:
         y = src.normalize_digits(x)
         (_, alpha), _ = fixed_point_dot(
             y, src.inv_q_fp_hi, src.inv_q_fp_lo, add_half=centered)
+        alpha = alpha.astype(dst.word)  # alpha < k_src: word-safe
         outs = []
         for j in range(dst.k):
             d = dst.q_dev[j]
             th = self.theta[:, j].reshape(src.k, 1)
             th_sh = self.theta_sh[:, j].reshape(src.k, 1)
-            terms = m.reduce_2q(m.mul_mod_shoup(y, th, th_sh, d), d)
+            terms = m.reduce_2q(m.w_shoup_mul(y.astype(dst.word), th,
+                                              th_sh, d), d)
             acc = terms[..., 0, :]
             for i in range(1, src.k):
                 acc = m.add_mod(acc, terms[..., i, :], d)
-            corr = m.mul_mod(alpha, self.c_mod_d[j], d,
-                             dst.ratio_hi_dev[j], dst.ratio_lo_dev[j])
+            corr = m.w_mul_mod(alpha, self.c_mod_d[j], d,
+                               dst.c0_dev[j], dst.c1_dev[j])
             outs.append(m.sub_mod(acc, corr, d))
         return jnp.stack(outs, axis=-2)
 
@@ -236,8 +254,9 @@ class ScaleAndRound:
             assert p_prime % d == 0, "target modulus must divide C/Q"
         ks, kd = src.k, dst.k
         Q = q_base.product
-        omega = np.empty((ks, kd), dtype=np.uint64)
-        omega_sh = np.empty((ks, kd), dtype=np.uint64)
+        wnp = np.uint32 if dst.word == m.U32 else np.uint64
+        omega = np.empty((ks, kd), dtype=wnp)
+        omega_sh = np.empty((ks, kd), dtype=wnp)
         phi_hi = np.empty((ks,), dtype=np.uint64)
         phi_lo = np.empty((ks,), dtype=np.uint64)
         for i in range(ks):
@@ -249,7 +268,7 @@ class ScaleAndRound:
             for j, d in enumerate(dst.moduli):
                 wj = w % d
                 omega[i, j] = wj
-                omega_sh[i, j] = (wj << 64) // d
+                omega_sh[i, j] = m.w_shoup_host(wj, d, dst.word)
         self.src, self.dst = src, dst
         self.omega = jnp.asarray(omega)
         self.omega_sh = jnp.asarray(omega_sh)
@@ -267,13 +286,18 @@ class ScaleAndRound:
             d = dst.q_dev[j]
             om = self.omega[:, j].reshape(src.k, 1)
             om_sh = self.omega_sh[:, j].reshape(src.k, 1)
-            terms = m.reduce_2q(m.mul_mod_shoup(y, om, om_sh, d), d)
+            terms = m.reduce_2q(m.w_shoup_mul(y.astype(dst.word), om,
+                                              om_sh, d), d)
             acc = terms[..., 0, :]
             for i in range(1, src.k):
                 acc = m.add_mod(acc, terms[..., i, :], d)
-            r = m.barrett_reduce_128(r_hi, r_lo, d,
-                                     dst.ratio_hi_dev[j],
-                                     dst.ratio_lo_dev[j])
+            if dst.word == m.U32:
+                # u32 engine: r < k_src * 2^30 < 2^35 fits one u64 word
+                r = m.w_reduce(r_lo, d, dst.c0_dev[j], dst.c1_dev[j])
+            else:
+                r = m.barrett_reduce_128(r_hi, r_lo, d,
+                                         dst.ratio_hi_dev[j],
+                                         dst.ratio_lo_dev[j])
             outs.append(m.add_mod(acc, r, d))
         return jnp.stack(outs, axis=-2)
 
@@ -312,7 +336,7 @@ class DecryptScaler:
     def apply(self, x):
         """x: [..., k, N] -> ([..., N] mod-t result, (frac_hi, frac_lo))."""
         qb = self.q_base
-        y = qb.normalize_digits(x)
+        y = qb.normalize_digits(x).astype(U64)  # u32-engine safe (widen)
         (r_hi, r_lo), frac = fixed_point_dot(
             y, self.phi_hi, self.phi_lo, add_half=True)
         t = self.t_dev
@@ -343,18 +367,18 @@ class ModDown:
         self.q_base = q_base
         self.p = p
         half = p >> 1
-        k = q_base.k
+        wnp = np.uint32 if q_base.word == m.U32 else np.uint64
         inv_p = np.array([pow(p % q, -1, q) for q in q_base.moduli],
-                         dtype=np.uint64)
+                         dtype=wnp)
         inv_p_sh = np.array(
-            [(int(v) << 64) // q for v, q in zip(inv_p, q_base.moduli)],
-            dtype=np.uint64)
+            [m.w_shoup_host(int(v), q, q_base.word)
+             for v, q in zip(inv_p, q_base.moduli)], dtype=wnp)
         self.inv_p = jnp.asarray(inv_p)
         self.inv_p_sh = jnp.asarray(inv_p_sh)
-        self.half = U64(half)
+        self.half = q_base.word(half) if p < (1 << 30) else U64(half)
         self.half_mod_q = jnp.asarray(
-            np.array([half % q for q in q_base.moduli], dtype=np.uint64))
-        self.p_dev = U64(p)
+            np.array([half % q for q in q_base.moduli], dtype=wnp))
+        self.p_dev = q_base.word(p) if p < (1 << 30) else U64(p)
 
     def apply(self, x_q, x_p):
         """x_q: [..., k, N], x_p: [..., N] -> [..., k, N]."""
@@ -363,13 +387,13 @@ class ModDown:
         q = qb.q_dev.reshape(k, 1)
         xp = m.add_mod(x_p, self.half, self.p_dev)
         # exact single-limb conversion: reduce xp mod each q_i
-        xp_mod_q = m.barrett_reduce_64(
-            xp[..., None, :], q, qb.ratio_hi_dev.reshape(k, 1),
-            qb.ratio_lo_dev.reshape(k, 1))
+        xp_mod_q = m.w_reduce(
+            xp[..., None, :], q, qb.c0_dev.reshape(k, 1),
+            qb.c1_dev.reshape(k, 1))
         num = m.sub_mod(
             m.add_mod(x_q, self.half_mod_q.reshape(k, 1), q), xp_mod_q, q)
-        out = m.mul_mod_shoup(num, self.inv_p.reshape(k, 1),
-                              self.inv_p_sh.reshape(k, 1), q)
+        out = m.w_shoup_mul(num, self.inv_p.reshape(k, 1),
+                            self.inv_p_sh.reshape(k, 1), q)
         return m.reduce_2q(out, q)
 
 

@@ -50,12 +50,16 @@ def key_from_seed(seed: int | None):
     return fresh_key() if seed is None else jax.random.key(seed)
 
 
-def uniform_mod_q(key, shape, q_limbs, ratio_hi, ratio_lo):
+def uniform_mod_q(key, shape, base):
     """Uniform residues in [0, q_i) per limb; shape excludes the limb axis.
 
     Draws 64+bitlen(q)-1 bits per element and Barrett-reduces: statistical
-    distance < 2^-63 from uniform. q_limbs: [k] device vector.
+    distance < 2^-63 from uniform. `base` is an `rns.RnsBase`; the result
+    is returned in the base's engine word (u32 downcast is exact — the
+    value is already < q).
     """
+    q_limbs, ratio_hi, ratio_lo = (base.q64_dev, base.ratio_hi_dev,
+                                   base.ratio_lo_dev)
     k = q_limbs.shape[0]
     full_shape = shape[:-1] + (k, shape[-1])
     hi = jax.random.bits(key, full_shape, dtype=jnp.uint64)
@@ -71,7 +75,8 @@ def uniform_mod_q(key, shape, q_limbs, ratio_hi, ratio_lo):
     hi = hi & v
     return m.barrett_reduce_128(
         hi, lo, qk,
-        ratio_hi.reshape(qk.shape[-2:]), ratio_lo.reshape(qk.shape[-2:]))
+        ratio_hi.reshape(qk.shape[-2:]),
+        ratio_lo.reshape(qk.shape[-2:])).astype(base.word)
 
 
 def ternary(key, shape):
@@ -98,6 +103,6 @@ def signed_to_rns(x, q_limbs):
     k = q_limbs.shape[0]
     qk = q_limbs.reshape((k, 1))
     xu = x[..., None, :].astype(jnp.int64)
-    pos = jnp.where(xu >= 0, xu, 0).astype(U64)
-    neg = jnp.where(xu < 0, -xu, 0).astype(U64)
+    pos = jnp.where(xu >= 0, xu, 0).astype(qk.dtype)
+    neg = jnp.where(xu < 0, -xu, 0).astype(qk.dtype)
     return m.sub_mod(pos, neg, qk)
