@@ -22,6 +22,7 @@ import numpy as np
 
 from sunscreen_tpu.bfv.context import BfvContext
 from sunscreen_tpu.bfv.keys import (GaloisKeys, KswKey, PublicKey, SecretKey)
+from sunscreen_tpu.errors import InvalidArgument
 from sunscreen_tpu.math import modular as m
 from sunscreen_tpu.math import rns, sampling
 
@@ -318,7 +319,9 @@ def relinearize(ctx: BfvContext, ct, rlk: KswKey):
     reference inserts this after every ct×ct multiply
     (`sunscreen_backend/src/transforms/insert_relinearizations.rs:17-61`).
     """
-    assert ct.shape[-3] == 3, "relinearize expects a 3-component ct"
+    if ct.shape[-3] != 3:
+        raise InvalidArgument(
+            f"relinearize expects a 3-component ct, got {ct.shape[-3]}")
     u0, u1 = keyswitch(ctx, ct[..., 2, :, :], rlk)
     q = _q(ctx)
     c0 = m.add_mod(ct[..., 0, :, :], u0, q)
@@ -348,7 +351,9 @@ def _permute(ctx: BfvContext, poly, g: int):
 def apply_galois(ctx: BfvContext, ct, g: int, gks: GaloisKeys):
     """a(x) -> a(x^g) on a 2-component ct + keyswitch back to s.
     SEAL: `Evaluator::apply_galois`."""
-    assert ct.shape[-3] == 2, "apply_galois expects a 2-component ct"
+    if ct.shape[-3] != 2:
+        raise InvalidArgument(
+            f"apply_galois expects a 2-component ct, got {ct.shape[-3]}")
     c0p = _permute(ctx, ct[..., 0, :, :], g)
     c1p = _permute(ctx, ct[..., 1, :, :], g)
     u0, u1 = keyswitch(ctx, c1p, gks[g])
@@ -398,7 +403,8 @@ def mod_switch_to_next(ctx: BfvContext, ct):
     q_last_inplace`). Returns arrays over k-1 limbs — decrypt/further
     ops need the context of the reduced parameter set
     (`mod_switch_context`)."""
-    assert ctx.k >= 2, "cannot mod-switch below one modulus"
+    if ctx.k < 2:
+        raise InvalidArgument("cannot mod-switch below one modulus")
     md = ctx.mod_switch_down
     return md.apply(ct[..., :ctx.k - 1, :], ct[..., ctx.k - 1, :])
 
@@ -416,7 +422,8 @@ def mod_switch_context(ctx: BfvContext) -> BfvContext:
 def exponentiate(ctx: BfvContext, ct, power: int, rlk: KswKey):
     """ct^power by square-and-multiply with relin after each multiply
     (SEAL: `Evaluator::exponentiate`)."""
-    assert power >= 1
+    if power < 1:
+        raise InvalidArgument("exponentiate requires power >= 1")
     result = None
     base = ct
     p = power
@@ -428,3 +435,37 @@ def exponentiate(ctx: BfvContext, ct, power: int, rlk: KswKey):
         if p:
             base = multiply_relin(ctx, base, base, rlk)
     return result
+
+
+def add_many(ctx: BfvContext, cts):
+    """Sum a sequence of 2-component ciphertexts (SEAL:
+    `Evaluator::add_many`; binding: `seal_fhe/src/evaluator.rs:38`).
+    Stacks and reduces in one fused op — noise grows additively."""
+    cts = list(cts)
+    if not cts:
+        raise InvalidArgument("add_many requires at least one ciphertext")
+    if len(cts) == 1:
+        return cts[0]
+    q = _q(ctx)
+    acc = cts[0]
+    for c in cts[1:]:
+        acc = m.add_mod(acc, c, q)
+    return acc
+
+
+def multiply_many(ctx: BfvContext, cts, rlk: KswKey):
+    """Product of a sequence of ciphertexts as a balanced tree of
+    multiply+relinearize (SEAL: `Evaluator::multiply_many`; binding:
+    `seal_fhe/src/evaluator.rs:46-52`). Tree depth log2(len) keeps
+    noise growth minimal vs a left fold."""
+    level = list(cts)
+    if not level:
+        raise InvalidArgument(
+            "multiply_many requires at least one ciphertext")
+    while len(level) > 1:
+        nxt = [multiply_relin(ctx, level[i], level[i + 1], rlk)
+               for i in range(0, len(level) - 1, 2)]
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    return level[0]

@@ -162,18 +162,25 @@ class BfvParams:
                          security_level=0)
 
     def __post_init__(self):
+        from sunscreen_tpu.errors import ParamsError
         n = self.poly_degree
-        assert n & (n - 1) == 0 and n >= 8
-        assert self.plain_modulus >= 2
-        assert self.plain_modulus < min(self.coeff_modulus), \
-            "plain modulus must be smaller than every coefficient modulus"
+        if n & (n - 1) != 0 or n < 8:
+            raise ParamsError(f"poly_degree must be a power of two >= 8, "
+                              f"got {n}")
+        if self.plain_modulus < 2:
+            raise ParamsError("plain_modulus must be >= 2")
+        if self.plain_modulus >= min(self.coeff_modulus):
+            raise ParamsError(
+                "plain modulus must be smaller than every coefficient "
+                "modulus")
         if self.security_level:
             total = sum(q.bit_length() for q in self.coeff_modulus)
             total += self.special_modulus.bit_length()
             limit = MAX_LOG_Q[self.security_level].get(n, 0)
-            assert total <= limit, (
-                f"log2(Q*P)={total} exceeds {self.security_level}-bit "
-                f"security budget {limit} for N={n}")
+            if total > limit:
+                raise ParamsError(
+                    f"log2(Q*P)={total} exceeds {self.security_level}-bit "
+                    f"security budget {limit} for N={n}")
 
     @property
     def q_product(self) -> int:

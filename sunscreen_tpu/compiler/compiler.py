@@ -71,14 +71,22 @@ class CompiledFheProgram:
 @dataclass
 class Application:
     """name -> program map sharing one parameter set (reference:
-    `Application<T>`, `sunscreen/src/lib.rs:83-218`)."""
+    `Application<T>`, `sunscreen/src/lib.rs:83-218`). Holds FHE and ZKP
+    programs when the builder compiles both (reference's FheZkp-marker
+    applications, `compiler.rs:360-457`)."""
 
-    params: BfvParams
+    params: BfvParams | None
     programs: dict[str, CompiledFheProgram] = field(default_factory=dict)
+    zkp_programs: dict[str, object] = field(default_factory=dict)
 
     def get_program(self, name_or_fn) -> CompiledFheProgram:
         name = getattr(name_or_fn, "name", name_or_fn)
         return self.programs[name]
+
+    def get_zkp_program(self, name_or_fn):
+        """Reference: `Application::get_zkp_program` (`lib.rs:200-218`)."""
+        name = getattr(name_or_fn, "name", name_or_fn)
+        return self.zkp_programs[name]
 
 
 class Compiler:
@@ -90,6 +98,8 @@ class Compiler:
 
     def __init__(self):
         self._programs: list[FheProgramFn] = []
+        self._zkp_programs: list = []
+        self._zkp_backend = None
         self._params: BfvParams | None = None
         self._plain_constraint = PlainModulusConstraint.BatchingMinimum(20)
         self._security = 128
@@ -109,6 +119,28 @@ class Compiler:
         if any(p.name == prog.name for p in self._programs):
             raise ValueError(f"duplicate program name {prog.name!r}")
         self._programs.append(prog)
+        return self
+
+    def zkp_program(self, prog) -> "Compiler":
+        """Add a `@zkp_program`-decorated function (reference:
+        `Compiler::zkp_program`, `sunscreen/src/compiler.rs:360-457` —
+        FHE and ZKP programs compile through the same builder)."""
+        from sunscreen_tpu.types.zkp_types import ZkpProgramFn
+        if not isinstance(prog, ZkpProgramFn):
+            raise TypeError("expected a @zkp_program-decorated function")
+        if any(p.name == prog.name for p in self._zkp_programs):
+            raise ValueError(f"duplicate zkp program name {prog.name!r}")
+        self._zkp_programs.append(prog)
+        return self
+
+    def zkp_backend(self, backend=None) -> "Compiler":
+        """Select the ZKP proof backend (reference:
+        `Compiler::zkp_backend::<B>()`, `compiler.rs:304`). Defaults to
+        Bulletproofs when ZKP programs are present."""
+        if backend is None:
+            from sunscreen_tpu.zk.backend import BulletproofsBackend
+            backend = BulletproofsBackend()
+        self._zkp_backend = backend
         return self
 
     def with_params(self, params: BfvParams) -> "Compiler":
@@ -198,13 +230,21 @@ class Compiler:
     # -- compile -------------------------------------------------------------
 
     def compile(self) -> Application:
-        if not self._programs:
+        if not self._programs and not self._zkp_programs:
             raise ValueError("no programs to compile")
-        params = self._params or self._search_params()
+        params = None
+        if self._programs:
+            params = self._params or self._search_params()
         app = Application(params)
         for pf in self._programs:
             prog, sig, literals = pf.build(params)
             prog = compile_program(prog)
             app.programs[pf.name] = CompiledFheProgram(
                 pf.name, prog, sig, literals, params)
+        for zf in self._zkp_programs:
+            # building traces + validates the circuit (reference:
+            # compile_zkp, compiler.rs:464-505); the built graph is what
+            # ZkpRuntime.prove/verify consume
+            zf.build()
+            app.zkp_programs[zf.name] = zf
         return app

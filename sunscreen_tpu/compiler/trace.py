@@ -116,9 +116,22 @@ class FheProgramFn:
         return ctx.prog, sig, ctx.literals
 
     # convenience mirroring FheProgramFnExt (`compiler.rs:90-136`)
-    def compile(self, **kwargs):
+    def compile(self, params=None, plain_modulus=None, security_level=None,
+                noise_margin=None, measured=False):
+        """One-program compile; kwargs map onto the Compiler builder."""
         from sunscreen_tpu.compiler.compiler import Compiler
-        return Compiler().fhe_program(self).compile(**kwargs)
+        c = Compiler().fhe_program(self)
+        if params is not None:
+            c = c.with_params(params)
+        if plain_modulus is not None:
+            c = c.plain_modulus(plain_modulus)
+        if security_level is not None:
+            c = c.security_level(security_level)
+        if noise_margin is not None:
+            c = c.additional_noise_budget(noise_margin)
+        if measured:
+            c = c.use_measured_noise_model()
+        return c.compile()
 
 
 def fhe_program(scheme: str = "bfv", chain_count: int = 1):

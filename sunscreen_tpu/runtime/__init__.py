@@ -1,5 +1,5 @@
 """Typed FHE runtime (replaces `sunscreen_runtime`)."""
 
 from sunscreen_tpu.runtime.runtime import (  # noqa: F401
-    Ciphertext, FheRuntime, PrivateKey, PublicKeySet, Runtime,
-    TooMuchNoise)
+    Ciphertext, FheRuntime, FheZkpRuntime, PrivateKey, PublicKeySet,
+    Runtime, TooMuchNoise, ZkpRuntime)

@@ -365,6 +365,22 @@ class Fractional(BfvType):
                 total -= d * 2.0 ** -(n - i)
         return total
 
+    def __truediv__(self, other):
+        """cipher / plaintext-constant = multiply_plain by the encoded
+        reciprocal (reference: `GraphCipherConstDiv for Fractional`,
+        `sunscreen/src/types/bfv/fractional.rs:400-420`)."""
+        if isinstance(other, BfvType):
+            raise TypeError(
+                "Fractional division only supports plaintext constants "
+                "(use Rational for cipher/cipher division)")
+        if not self._cipher:
+            raise TypeError("constant division requires a ciphertext")
+        ctx = current_ctx()
+        lit = ctx.literal_plaintext(
+            type(self).encode(1.0 / float(other), ctx.params))
+        out = ctx.emit(Op.MULTIPLY_PLAIN, (self._ids[0], lit))
+        return type(self)._from_ids((out,), cipher=True)
+
 
 class Rational(BfvType):
     """num/den pair of Signed ciphertexts — the only divisible type

@@ -265,3 +265,106 @@ def test_array_program_inputs():
     w = rt.encrypt(Signed(5), pub, seed=40)
     out = rt.run(app.get_program("dot4"), [xs, w], pub)
     assert rt.decrypt(out[0], priv) == (1 + 2 + 3 + 4) * 5
+
+
+def test_fractional_const_division(rt_keys):
+    """cipher / constant (reference: `GraphCipherConstDiv for
+    Fractional`, `sunscreen/src/types/bfv/fractional.rs:400-420`)."""
+    rt, pub, priv = rt_keys
+
+    @fhe_program(scheme="bfv")
+    def halve(a: Cipher[Fractional[16]]):
+        return a / 2.0 + a / 0.25
+
+    app = compile_with_params(halve)
+    a = rt.encrypt(Fractional[16](6.5), pub, seed=50)
+    (out,) = rt.run(app.get_program(halve), [a], pub)
+    assert rt.decrypt(out, priv) == pytest.approx(6.5 / 2.0 + 6.5 / 0.25)
+    # cipher / cipher stays a type error (reference has no such op)
+    with pytest.raises(TypeError):
+        @fhe_program(scheme="bfv")
+        def bad(a: Cipher[Fractional[16]], b: Cipher[Fractional[16]]):
+            return a / b
+        compile_with_params(bad)
+
+
+def test_fhe_program_fn_compile_kwargs():
+    """FheProgramFnExt parity: `prog.compile(...)` forwards to the
+    builder (`sunscreen/src/compiler.rs:90-136`)."""
+    app = simple_multiply.compile(params=PARAMS)
+    assert app.params is PARAMS
+    assert app.get_program("simple_multiply").requires_relin_keys
+
+
+def test_zkp_program_through_compiler():
+    """FHE + ZKP programs through ONE builder (reference:
+    `Compiler::zkp_backend::<B>().zkp_program(f)`,
+    `sunscreen/src/compiler.rs:304,360-457`)."""
+    from sunscreen_tpu.runtime import ZkpRuntime
+    from sunscreen_tpu.types.zkp_types import Field, zkp_program
+
+    @zkp_program()
+    def is_product(a: Field, b: Field, c: Field):
+        (a * b).constrain_eq(c)
+
+    app = (Compiler()
+           .fhe_program(simple_multiply)
+           .zkp_backend()
+           .zkp_program(is_product)
+           .with_params(PARAMS)
+           .compile())
+    assert "simple_multiply" in app.programs
+    zp = app.get_zkp_program(is_product)
+    rt = ZkpRuntime()
+    proof = rt.prove(zp, [3, 5, 15])
+    assert rt.verify(zp, proof)
+    # zkp-only application needs no FHE params
+    app2 = Compiler().zkp_backend().zkp_program(is_product).compile()
+    assert app2.params is None and "is_product" in app2.zkp_programs
+
+
+def test_typed_errors():
+    """Library paths raise typed errors, not AssertionError (reference:
+    per-crate error enums, e.g. `sunscreen_runtime/src/error.rs`)."""
+    import jax.numpy as jnp
+
+    from sunscreen_tpu.bfv import get_context, ops
+    from sunscreen_tpu.errors import (InvalidArgument, ParamsError,
+                                      SunscreenError)
+
+    with pytest.raises(ParamsError):
+        BfvParams(1000, 17, (1 << 40,), 1 << 40, 0)  # non-power-of-two N
+    with pytest.raises(ParamsError):
+        BfvParams.default(4096, plain_modulus=1 << 60)  # t >= q_i
+    ctx = get_context(PARAMS)
+    with pytest.raises(InvalidArgument):
+        ops.relinearize(ctx, jnp.zeros((2, ctx.k, ctx.n), jnp.uint64), None)
+    with pytest.raises(SunscreenError):
+        ops.add_many(ctx, [])
+
+
+def test_add_many_multiply_many(rt_keys):
+    """Evaluator conveniences (SEAL binding surface:
+    `seal_fhe/src/evaluator.rs:38-52`)."""
+    from sunscreen_tpu.bfv import get_context, keys as bkeys, ops
+    import jax
+
+    # depth-3 multiply tree needs more noise budget than PARAMS gives
+    ctx = get_context(BfvParams.insecure(1024, limbs=3, limb_bits=50))
+    key = jax.random.key(99)
+    sk = bkeys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+    pk = bkeys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+    rlk = bkeys.gen_relin_key(ctx, sk, jax.random.fold_in(key, 2))
+    import jax.numpy as jnp
+    vals = (3, 5, 7, 11, 2)
+    cts = [ops.encrypt(ctx, pk,
+                       jnp.zeros(ctx.n, jnp.uint64).at[0].set(v),
+                       jax.random.fold_in(key, 10 + i))
+           for i, v in enumerate(vals)]
+    s = ops.decrypt(ctx, sk, ops.add_many(ctx, cts))
+    assert int(s[0]) == sum(vals) % ctx.t
+    p = ops.decrypt(ctx, sk, ops.multiply_many(ctx, cts, rlk))
+    prod = 1
+    for v in vals:
+        prod = prod * v % ctx.t
+    assert int(p[0]) == prod
