@@ -176,15 +176,33 @@ def invariant_noise_budget(ctx: BfvContext, sk: SecretKey, ct):
     """-log2(2*|v|) where t/Q*(c(s)) = m + v + a*t, |v| in [0, 1/2).
 
     SEAL: `Decryptor::invariant_noise_budget`
-    (`encryptor_decryptor.rs:588+`). Measured from the exact 128
-    fractional bits of the decryption scale-and-round; saturates at ~126
-    bits (enough for every <= 128-bit Q chain). Host-side epilogue (the
-    log2) on integer device words."""
-    m_hi, m_lo = jax.device_get(noise_distance_words(ctx, sk, ct))
-    dist = (np.asarray(m_hi, dtype=np.float64) * 2.0**-64
-            + np.asarray(m_lo, dtype=np.float64) * 2.0**-128)
-    dist = np.maximum(dist, 2.0**-127)
-    return np.floor(-np.log2(2.0 * dist))
+    (`encryptor_decryptor.rs:588+`). The device computes c(s) mod Q; the
+    epilogue CRT-composes each coefficient with exact python ints and
+    takes floor(log2(Q / (2*max|centered(t*c(s) mod Q)|))) — bit-exact at
+    any chain length (the in-jit `noise_distance_words` path is 128-bit
+    fixed point, whose one-sided constant error floors the measurable
+    budget at ~log2(Q) - 2*max_limb_bits; fine for the >0 runtime guard,
+    not for wide chains like N>=8192 where SEAL reports 149+ bits)."""
+    v = np.asarray(jax.device_get(_ct_dot_s(ctx, ct, sk)), dtype=np.uint64)
+    moduli = ctx.q_base.moduli
+    big_q = ctx.q_base.product
+    t = int(ctx.t)
+    lifts = np.array(
+        [p * i % big_q for p, i in zip(ctx.q_base.punctured,
+                                       ctx.q_base.inv_punctured)],
+        dtype=object)
+    k = len(moduli)
+    lead = v.shape[:-2]
+    flat = v.reshape((-1, k, v.shape[-1])).astype(object)
+    out = np.empty((flat.shape[0],), dtype=np.float64)
+    for r in range(flat.shape[0]):
+        cs = (flat[r] * lifts[:, None]).sum(axis=0) % big_q
+        rem = (cs * t) % big_q
+        dist = int(np.maximum(np.minimum(rem, big_q - rem), 1).max())
+        out[r] = float((big_q // (2 * dist)).bit_length() - 1) \
+            if 2 * dist <= big_q else 0.0
+    out = out.reshape(lead) if lead else out[0]
+    return out
 
 
 # --------------------------------------------------------------------------

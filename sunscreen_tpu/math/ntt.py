@@ -293,14 +293,25 @@ def _plan_cached(n: int, moduli: tuple[int, ...], mode: str):
     if mode == "matmul":
         from sunscreen_tpu.math import mntt
         return mntt.MatmulNttPlan(n, moduli)
+    if mode == "pallas":
+        from sunscreen_tpu.math import pntt
+        return pntt.PallasNttPlan(n, moduli)
     return NttPlan(n, moduli, mode)
 
 
 def get_plan(n: int, moduli: tuple[int, ...], mode: str | None = None):
     """Shared plan cache. `mode` None -> `resolve_mode()` default.
-    Falls back from "matmul" to "compact" when a modulus exceeds the
-    MXU bound (q >= 2^57, e.g. TFHE's CRT primes)."""
+    Fallbacks for out-of-envelope moduli: "matmul" requires q < 2^57
+    (MXU limb bound) else "compact"; "pallas" requires the u32 engine
+    (q < 2^30) and N >= 128, else it degrades to the matmul rule."""
     mode = resolve_mode(mode)
+    if mode == "pallas" and (max(q.bit_length() for q in moduli) > 30
+                             or n < 128):
+        mode = "matmul"
+    if mode == "pallas" and min(q.bit_length() for q in moduli) < 17:
+        # tiny plain-ring moduli (t ~ 2^14..2^16): not hot; the unrolled
+        # lowering handles any word/width on every backend
+        mode = "unrolled"
     if mode == "matmul" and max(q.bit_length() for q in moduli) > 57:
         mode = "compact"
     return _plan_cached(n, tuple(moduli), mode)
