@@ -199,6 +199,172 @@ static void ge_tobytes(uint8_t *s, const ge &h) {
   fe_tobytes(s + 96, h.T);
 }
 
+// ---------------------------------------------------------------------------
+// field helpers for the ristretto elligator map (RFC 9496 §4.3.4)
+// ---------------------------------------------------------------------------
+
+static void fe_one(fe &h) { memset(&h, 0, sizeof(h)); h.v[0] = 1; }
+
+static void fe_neg(fe &h, const fe &f) {
+  fe zero;
+  memset(&zero, 0, sizeof(zero));
+  fe_sub(h, zero, f);
+}
+
+static int fe_is_negative(const fe &f) {
+  uint8_t b[32];
+  fe_tobytes(b, f);
+  return b[0] & 1;
+}
+
+static int fe_eq(const fe &a, const fe &b) {
+  uint8_t ba[32], bb[32];
+  fe_tobytes(ba, a);
+  fe_tobytes(bb, b);
+  return memcmp(ba, bb, 32) == 0;
+}
+
+// z^(2^252 - 3) = z^((p-5)/8): plain MSB-first square-and-multiply.
+// Exponent bits: positions 2..251 set, position 1 clear, position 0 set.
+static void fe_pow2523(fe &h, const fe &z) {
+  fe r = z;  // bit 251
+  for (int i = 250; i >= 0; i--) {
+    fe_mul(r, r, r);
+    int bit = (i >= 2) ? 1 : (i == 0 ? 1 : 0);
+    if (bit) fe_mul(r, r, z);
+  }
+  h = r;
+}
+
+static fe FE_SQRT_M1, FE_D, FE_ONE_MINUS_D_SQ, FE_D_MINUS_ONE_SQ,
+    FE_SQRT_AD_MINUS_ONE;
+static bool elligator_initialized = false;
+
+static void elligator_init_constants() {
+  if (elligator_initialized) return;
+  static const u64 W_SQRT_M1[4] = {0xc4ee1b274a0ea0b0ULL, 0x2f431806ad2fe478ULL, 0x2b4d00993dfbd7a7ULL, 0x2b8324804fc1df0bULL};
+  static const u64 W_D[4] = {0x75eb4dca135978a3ULL, 0x00700a4d4141d8abULL, 0x8cc740797779e898ULL, 0x52036cee2b6ffe73ULL};
+  static const u64 W_ONE_MINUS_D_SQ[4] = {0xe27c09c1945fc176ULL, 0x2c81a138cd5e350fULL, 0x9994abddbe70dfe4ULL, 0x029072a8b2b3e0d7ULL};
+  static const u64 W_D_MINUS_ONE_SQ[4] = {0x31ad5aaa44ed4d20ULL, 0xd29e4a2cb01e1999ULL, 0x4cdcd32f529b4eebULL, 0x5968b37af66c2241ULL};
+  static const u64 W_SQRT_AD_MINUS_ONE[4] = {0x8168095fb684d1d2ULL, 0x506271f3e487ab42ULL, 0xf0c30336ce0a2e02ULL, 0x4896ce40d47cb753ULL};
+  fe_from_u64s(FE_SQRT_M1, W_SQRT_M1);
+  fe_from_u64s(FE_D, W_D);
+  fe_from_u64s(FE_ONE_MINUS_D_SQ, W_ONE_MINUS_D_SQ);
+  fe_from_u64s(FE_D_MINUS_ONE_SQ, W_D_MINUS_ONE_SQ);
+  fe_from_u64s(FE_SQRT_AD_MINUS_ONE, W_SQRT_AD_MINUS_ONE);
+  elligator_initialized = true;
+}
+
+// (was_square, sqrt(u/v) or sqrt(i*u/v)) per RFC 9496 §4.2, matching
+// zk/curve25519.py _sqrt_ratio_m1 bit-for-bit.
+static int fe_sqrt_ratio_m1(fe &out, const fe &u, const fe &v) {
+  fe v3, v7, r, check, t, neg_u, neg_u_i;
+  fe_mul(v3, v, v);
+  fe_mul(v3, v3, v);              // v^3
+  fe_mul(v7, v3, v3);
+  fe_mul(v7, v7, v);              // v^7
+  fe_mul(t, u, v7);
+  fe_pow2523(t, t);               // (u v^7)^((p-5)/8)
+  fe_mul(r, u, v3);
+  fe_mul(r, r, t);
+  fe_mul(check, r, r);
+  fe_mul(check, check, v);        // v r^2
+  fe_neg(neg_u, u);
+  fe_mul(neg_u_i, neg_u, FE_SQRT_M1);
+  int correct = fe_eq(check, u);
+  int flipped = fe_eq(check, neg_u);
+  int flipped_i = fe_eq(check, neg_u_i);
+  if (flipped || flipped_i) fe_mul(r, r, FE_SQRT_M1);
+  if (fe_is_negative(r)) fe_neg(r, r);
+  out = r;
+  return correct || flipped;
+}
+
+// RFC 9496 §4.3.4 MAP (one 255-bit field element -> point), matching
+// zk/curve25519.py _map_to_point.
+static void ge_elligator_map(ge &h, const uint8_t *bytes32) {
+  fe r0, r, u, c, v, s, n, t, w0, w1, w2, w3, one;
+  uint8_t masked[32];
+  memcpy(masked, bytes32, 32);
+  masked[31] &= 0x7F;             // clear bit 255
+  fe_frombytes(r0, masked);
+  fe_one(one);
+  fe_mul(r, r0, r0);
+  fe_mul(r, r, FE_SQRT_M1);       // r = sqrt(-1) * r0^2
+  fe_add(u, r, one);
+  fe_mul(u, u, FE_ONE_MINUS_D_SQ);
+  fe_neg(c, one);                 // c = -1
+  fe_mul(t, FE_D, r);
+  fe_sub(t, c, t);                // (-1 - d r)
+  fe_add(v, r, FE_D);
+  fe_mul(v, v, t);                // v = (-1 - d r)(r + d)
+  int was_square = fe_sqrt_ratio_m1(s, u, v);
+  if (!was_square) {
+    fe_mul(s, s, r0);
+    if (!fe_is_negative(s)) fe_neg(s, s);  // s = -|s r0| (force odd)
+    c = r;
+  }
+  fe_sub(t, r, one);
+  fe_mul(n, c, t);
+  fe_mul(n, n, FE_D_MINUS_ONE_SQ);
+  fe_sub(n, n, v);                // n = c (r-1) (d-1)^2 - v
+  fe_add(w0, s, s);
+  fe_mul(w0, w0, v);              // w0 = 2 s v
+  fe_mul(w1, n, FE_SQRT_AD_MINUS_ONE);
+  fe_mul(t, s, s);
+  fe_sub(w2, one, t);             // w2 = 1 - s^2
+  fe_add(w3, one, t);             // w3 = 1 + s^2
+  fe_mul(h.X, w0, w3);
+  fe_mul(h.Y, w2, w1);
+  fe_mul(h.Z, w1, w3);
+  fe_mul(h.T, w0, w2);
+}
+
+// ---------------------------------------------------------------------------
+// Keccak-f[1600] (for merlin/STROBE transcript acceleration)
+// ---------------------------------------------------------------------------
+
+static const u64 KECCAK_RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808AULL,
+    0x8000000080008000ULL, 0x000000000000808BULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008AULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000AULL,
+    0x000000008000808BULL, 0x800000000000008BULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800AULL, 0x800000008000000AULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+static inline u64 rotl64(u64 x, int n) {
+  return (x << n) | (x >> (64 - n));
+}
+
+static void keccakf(u64 a[25]) {
+  // state layout matches the python reference: lane (x, y) at word
+  // index x + 5*y.
+  for (int round = 0; round < 24; round++) {
+    u64 c[5], d[5], b[25];
+    for (int x = 0; x < 5; x++)
+      c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+    for (int x = 0; x < 5; x++)
+      d[x] = c[(x + 4) % 5] ^ rotl64(c[(x + 1) % 5], 1);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++) a[x + 5 * y] ^= d[x];
+    static const int ROTC[5][5] = {{0, 36, 3, 41, 18},
+                                   {1, 44, 10, 45, 2},
+                                   {62, 6, 43, 15, 61},
+                                   {28, 55, 25, 21, 56},
+                                   {27, 20, 39, 8, 14}};
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl64(a[x + 5 * y], ROTC[x][y]);
+    for (int x = 0; x < 5; x++)
+      for (int y = 0; y < 5; y++)
+        a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) &
+                                       b[(x + 2) % 5 + 5 * y]);
+    a[0] ^= KECCAK_RC[round];
+  }
+}
+
 // scalar mult (variable time, 4-bit windows)
 static void ge_scalarmul(ge &r, const ge &p, const uint8_t *scalar) {
   ge table[16];
@@ -320,6 +486,36 @@ void ristretto_scale_all(const uint8_t *points, const uint8_t *scalar,
     ge_scalarmul(r, p, scalar);
     ge_tobytes(out + 128 * i, r);
   }
+}
+
+// out[i](128B) = from_uniform_bytes(bytes[i] (64B)): elligator map of
+// both halves, added (generator derivation hot loop for SDLP/BP at
+// production sizes; reference: curve25519-dalek from_uniform_bytes as
+// used by logproof/src/generators.rs).
+void ristretto_from_uniform(const uint8_t *bytes, long n, uint8_t *out) {
+  ge_init_constants();
+  elligator_init_constants();
+  for (long i = 0; i < n; i++) {
+    ge p1, p2, r;
+    ge_elligator_map(p1, bytes + 64 * i);
+    ge_elligator_map(p2, bytes + 64 * i + 32);
+    ge_add(r, p1, p2);
+    ge_tobytes(out + 128 * i, r);
+  }
+}
+
+// In-place Keccak-f[1600] on a 200-byte state (little-endian lanes).
+void keccak_f1600(uint8_t *state) {
+  u64 a[25];
+  memcpy(a, state, 200);
+  keccakf(a);
+  memcpy(state, a, 200);
+}
+
+// In-place Keccak-f[1600] on `n` contiguous 200-byte states (forked
+// transcript batches).
+void keccak_f1600_batch(uint8_t *states, long n) {
+  for (long i = 0; i < n; i++) keccak_f1600(states + 200 * i);
 }
 
 }  // extern "C"

@@ -39,6 +39,12 @@ def poly_sub(a, b, q=None):
 def poly_mul(a, b, q=None):
     if not a or not b:
         return []
+    # iterate the sparser operand's nonzeros (f = X^d + 1 style
+    # quotient polys make one side 2-term)
+    nza = sum(1 for x in a if x != 0)
+    nzb = sum(1 for x in b if x != 0)
+    if nzb < nza:
+        a, b = b, a
     out = [0] * (len(a) + len(b) - 1)
     for i, x in enumerate(a):
         if x == 0:
@@ -56,14 +62,19 @@ def poly_divmod(a, f, q):
     df = len(f) - 1
     quo = [0] * max(1, len(a) - df)
     rem = list(a)
+    # iterate only f's nonzero low-order terms: O(d * nnz(f)) — the
+    # SDLP quotient ring f = X^d + 1 makes this O(d)
+    nz = [(j, c % q) for j, c in enumerate(f[:-1]) if c % q]
     for i in range(len(rem) - 1, df - 1, -1):
         c = rem[i] % q
         if c == 0:
+            rem[i] = 0
             continue
         k = c * inv_lead % q
         quo[i - df] = k
-        for j in range(df + 1):
-            rem[i - df + j] = (rem[i - df + j] - k * f[j]) % q
+        rem[i] = 0
+        for j, fc in nz:
+            rem[i - df + j] = (rem[i - df + j] - k * fc) % q
     return quo, poly_trim(rem)
 
 
@@ -81,10 +92,27 @@ def poly_eval(p, x, mod):
 
 # matrices: list[list[poly]]
 
-def mat_mul_poly(A, S, q=None):
-    """(n x m) * (m x k) full polynomial product (no mod-f reduction)."""
+def mat_mul_poly(A, S, q=None, bound: int | None = None):
+    """(n x m) * (m x k) full polynomial product (no mod-f reduction).
+
+    Large products route through the CRT-NTT path
+    (`logproof/fastpoly.py`) — required for production-parameter SDLP
+    (d = 1024..8192). `bound` is a bound on the true product's max
+    |coefficient|; derived from q for the modular case, required for
+    the integer (q=None) case on the fast path.
+    """
     n, m = len(A), len(A[0])
     k = len(S[0])
+    la = max((len(p) for row in A for p in row), default=0)
+    lb = max((len(p) for row in S for p in row), default=0)
+    work = n * k * m * la * lb
+    if work > (1 << 22) and la and lb:
+        if bound is None:
+            assert q is not None, \
+                "integer-path mat_mul_poly needs an explicit bound"
+            bound = m * min(la, lb) * (q - 1) * (q - 1)
+        from sunscreen_tpu.logproof.fastpoly import mat_mul_poly_fast
+        return mat_mul_poly_fast(A, S, q, bound)
     out = [[[] for _ in range(k)] for _ in range(n)]
     for i in range(n):
         for j in range(k):

@@ -37,8 +37,7 @@ def generators(count: int, label: bytes) -> list[cv.Point]:
     shake.update(b"Generator")
     shake.update(label)
     buf = shake.digest(64 * count)
-    return [cv.from_uniform_bytes(buf[64 * i:64 * (i + 1)])
-            for i in range(count)]
+    return cv.from_uniform_bytes_batch(buf)
 
 
 class LogProofGenerators:
@@ -230,7 +229,9 @@ def _compute_factors(vk: VerifierKnowledge, s):
     r_2 = mat_map(t_as_q, lambda p: poly_divmod(p, vk.f, q)[0])
     # integer computation with signed lifts
     lift = lambda p: [signed_lift(c, q) for c in p]  # noqa: E731
-    as_z = mat_mul_poly(mat_map(vk.a, lift), mat_map(s, lift))
+    half = q // 2 + 1
+    as_z = mat_mul_poly(mat_map(vk.a, lift), mat_map(s, lift),
+                        bound=vk.m * vk.d * half * half)
     t_z = mat_map(vk.t, lift)
     r2_z = mat_map(r_2, lift)
     f_z = lift(vk.f)

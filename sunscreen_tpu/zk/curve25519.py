@@ -188,6 +188,20 @@ def from_uniform_bytes(data: bytes) -> Point:
     return p1 + p2
 
 
+def from_uniform_bytes_batch(data: bytes) -> list[Point]:
+    """Batched `from_uniform_bytes` over len(data)/64 blocks
+    (native-accelerated; python fallback is the oracle)."""
+    assert len(data) % 64 == 0
+    count = len(data) // 64
+    if count >= 8:
+        from sunscreen_tpu.zk import native
+        result = native.from_uniform_batch(data, count)
+        if result is not None:
+            return result
+    return [from_uniform_bytes(data[64 * i:64 * (i + 1)])
+            for i in range(count)]
+
+
 def _map_to_point(r0: int) -> Point:
     """RFC 9496 §4.3.4 MAP (Elligator 2 for ristretto255)."""
     r = SQRT_M1 * r0 % P * r0 % P

@@ -34,8 +34,41 @@ def _rotl(x: int, n: int) -> int:
     return ((x << n) | (x >> (64 - n))) & _MASK
 
 
+_NATIVE_KECCAK = None
+_NATIVE_TRIED = False
+
+
+def _native_keccak():
+    """ctypes handle to the C++ keccak_f1600 (same shared library as the
+    ristretto kernels); None when the native build is unavailable.
+    Bit-exactness vs the python permutation is pinned by
+    tests/test_merlin.py."""
+    global _NATIVE_KECCAK, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from sunscreen_tpu.zk import native
+            lib = native.get_lib()
+            if lib is not None and hasattr(lib, "keccak_f1600"):
+                _NATIVE_KECCAK = lib.keccak_f1600
+        except Exception:
+            _NATIVE_KECCAK = None
+    return _NATIVE_KECCAK
+
+
 def keccak_f1600(state: bytearray) -> None:
     """In-place permutation of a 200-byte state (little-endian lanes)."""
+    fn = _native_keccak()
+    if fn is not None:
+        import ctypes
+        buf = (ctypes.c_uint8 * 200).from_buffer(state)
+        fn(buf)
+        return
+    _keccak_f1600_py(state)
+
+
+def _keccak_f1600_py(state: bytearray) -> None:
+    """Pure-python reference permutation (oracle for the native one)."""
     a = [[int.from_bytes(state[8 * (x + 5 * y):8 * (x + 5 * y) + 8],
                          "little") for y in range(5)] for x in range(5)]
     for rc in _ROUND_CONSTANTS:
@@ -90,25 +123,39 @@ class Strobe128:
         self.pos_begin = 0
 
     def _absorb(self, data: bytes):
-        for byte in data:
-            self.state[self.pos] ^= byte
-            self.pos += 1
+        # chunked to the rate boundary (XOR via int bit-ops — the
+        # per-byte loop dominated transcript time at SDLP sizes)
+        off = 0
+        n = len(data)
+        while off < n:
+            take = min(_R - self.pos, n - off)
+            lo, hi = self.pos, self.pos + take
+            cur = int.from_bytes(self.state[lo:hi], "little")
+            new = cur ^ int.from_bytes(data[off:off + take], "little")
+            self.state[lo:hi] = new.to_bytes(take, "little")
+            self.pos += take
+            off += take
             if self.pos == _R:
                 self._run_f()
 
     def _overwrite(self, data: bytes):
-        for byte in data:
-            self.state[self.pos] = byte
-            self.pos += 1
+        off = 0
+        n = len(data)
+        while off < n:
+            take = min(_R - self.pos, n - off)
+            self.state[self.pos:self.pos + take] = data[off:off + take]
+            self.pos += take
+            off += take
             if self.pos == _R:
                 self._run_f()
 
     def _squeeze(self, n: int) -> bytes:
-        out = bytearray(n)
-        for i in range(n):
-            out[i] = self.state[self.pos]
-            self.state[self.pos] = 0
-            self.pos += 1
+        out = bytearray()
+        while len(out) < n:
+            take = min(_R - self.pos, n - len(out))
+            out += self.state[self.pos:self.pos + take]
+            self.state[self.pos:self.pos + take] = bytes(take)
+            self.pos += take
             if self.pos == _R:
                 self._run_f()
         return bytes(out)

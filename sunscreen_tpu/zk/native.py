@@ -38,7 +38,9 @@ def get_lib():
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO)
             for name in ("ristretto_msm", "ristretto_batch_scalarmul",
-                         "ristretto_fold", "ristretto_scale_all"):
+                         "ristretto_fold", "ristretto_scale_all",
+                         "ristretto_from_uniform", "keccak_f1600",
+                         "keccak_f1600_batch"):
                 getattr(lib, name).restype = None
             _LIB = lib
         except Exception:
@@ -87,6 +89,18 @@ def msm(scalars, points):
     out = ctypes.create_string_buffer(128)
     lib.ristretto_msm(sb, pb, ctypes.c_long(n), out)
     return _buf_to_points(out.raw, 1)[0]
+
+
+def from_uniform_batch(data: bytes, count: int):
+    """[from_uniform_bytes(data[64i:64i+64])] — batched elligator maps
+    (generator derivation hot loop); None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert len(data) == 64 * count
+    out = ctypes.create_string_buffer(128 * count)
+    lib.ristretto_from_uniform(data, ctypes.c_long(count), out)
+    return _buf_to_points(out.raw, count)
 
 
 def batch_scalar_mul(scalars, points):

@@ -53,10 +53,19 @@ class BulletproofGens:
 
     def __init__(self, gens_capacity: int):
         self.gens_capacity = gens_capacity
-        g_chain = generators_chain(b"G" + (0).to_bytes(4, "little"))
-        h_chain = generators_chain(b"H" + (0).to_bytes(4, "little"))
-        self.G = [next(g_chain) for _ in range(gens_capacity)]
-        self.H = [next(h_chain) for _ in range(gens_capacity)]
+        self.G = _chain_points(b"G" + (0).to_bytes(4, "little"),
+                               gens_capacity)
+        self.H = _chain_points(b"H" + (0).to_bytes(4, "little"),
+                               gens_capacity)
+
+
+def _chain_points(label: bytes, count: int) -> list[c.Point]:
+    """First `count` points of a GeneratorsChain, batched through the
+    native elligator (bit-exact vs `generators_chain`)."""
+    shake = hashlib.shake_256()
+    shake.update(b"GeneratorsChain")
+    shake.update(label)
+    return c.from_uniform_bytes_batch(shake.digest(64 * count))
 
 
 @lru_cache(maxsize=8)
