@@ -294,6 +294,9 @@ def _plan_cached(n: int, moduli: tuple[int, ...], mode: str):
         from sunscreen_tpu.math import mntt
         return mntt.MatmulNttPlan(n, moduli)
     if mode == "pallas":
+        from sunscreen_tpu.math import pmntt
+        return pmntt.PallasMatmulNttPlan(n, moduli)
+    if mode == "pallas_vpu":
         from sunscreen_tpu.math import pntt
         return pntt.PallasNttPlan(n, moduli)
     return NttPlan(n, moduli, mode)
@@ -302,12 +305,20 @@ def _plan_cached(n: int, moduli: tuple[int, ...], mode: str):
 def get_plan(n: int, moduli: tuple[int, ...], mode: str | None = None):
     """Shared plan cache. `mode` None -> `resolve_mode()` default.
     Fallbacks for out-of-envelope moduli: "matmul" requires q < 2^57
-    (MXU limb bound) else "compact"; "pallas" requires the u32 engine
-    (q < 2^30) and N >= 128, else it degrades to the matmul rule."""
+    (MXU limb bound) else "compact"; "pallas" (hybrid MXU einsum +
+    fused Pallas recombination, math/pmntt.py) and "pallas_vpu"
+    (all-VPU fused butterflies, math/pntt.py) require the u32 engine
+    (q < 2^30) and N >= 256/128, else they degrade to the matmul
+    rule."""
     mode = resolve_mode(mode)
     if mode == "pallas" and (max(q.bit_length() for q in moduli) > 30
-                             or n < 128):
+                             or n < 256):
         mode = "matmul"
+    if mode == "pallas_vpu" and (max(q.bit_length() for q in moduli) > 30
+                                 or n < 128):
+        mode = "matmul"
+    if mode == "pallas_vpu" and min(q.bit_length() for q in moduli) < 17:
+        mode = "unrolled"
     if mode == "pallas" and min(q.bit_length() for q in moduli) < 17:
         # tiny plain-ring moduli (t ~ 2^14..2^16): not hot; the unrolled
         # lowering handles any word/width on every backend

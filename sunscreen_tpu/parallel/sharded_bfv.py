@@ -75,13 +75,15 @@ def sharded_multiply_relin(ctx: BfvContext, mesh: Mesh, a4, b4, rlk,
     kk = ctx.k + 1
 
     def body(a, b, k0, k1):
-        qm = ctx.mul_base.q_dev.reshape(ctx.mul_base.k, 1)
+        # the distributed plan's tables are u64; u32-engine contexts
+        # cast at the dntt boundary (exact: all residues < 2^30)
+        qm = ctx.mul_base.q_dev.reshape(ctx.mul_base.k, 1).astype(U64)
 
         def extend(x):
             flat = _flat(x)
             aux = ctx.conv_q_to_aux.convert(flat, centered=True)
             stacked = jnp.concatenate([flat, aux], axis=-2)
-            return _mat(stacked, n1)
+            return _mat(stacked, n1).astype(U64)
 
         a_hat = jnp.stack([dp_mul.fwd_local(extend(a)[i], axis)
                            for i in range(2)])
@@ -97,7 +99,7 @@ def sharded_multiply_relin(ctx: BfvContext, mesh: Mesh, a4, b4, rlk,
                     acc = term if acc is None else m.add_mod(
                         acc, term, qm[..., None])
             outs.append(dp_mul.inv_local(acc, axis))
-        tensor = _flat(jnp.stack(outs))
+        tensor = _flat(jnp.stack(outs)).astype(ctx.word)
         scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
         prod = ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
 
@@ -108,19 +110,19 @@ def sharded_multiply_relin(ctx: BfvContext, mesh: Mesh, a4, b4, rlk,
         for i in range(ctx.k):
             digit = d[i]
             ext = m.barrett_reduce_64(
-                digit[None, :], qk, ctx.key_base.ratio_hi_dev.reshape(kk, 1),
+                digit[None, :].astype(U64), qk.astype(U64),
+                ctx.key_base.ratio_hi_dev.reshape(kk, 1),
                 ctx.key_base.ratio_lo_dev.reshape(kk, 1))
             d_hat = dp_key.fwd_local(_mat(ext, n1), axis)
             # key rows arrive already in the DISTRIBUTED NTT domain
             # (see `sharded_relin_key`)
             t0 = dp_key.pointwise_local(d_hat, k0[i])
             t1 = dp_key.pointwise_local(d_hat, k1[i])
-            acc0 = t0 if acc0 is None else m.add_mod(acc0, t0,
-                                                     qk[..., None])
-            acc1 = t1 if acc1 is None else m.add_mod(acc1, t1,
-                                                     qk[..., None])
-        u0 = _flat(dp_key.inv_local(acc0, axis))
-        u1 = _flat(dp_key.inv_local(acc1, axis))
+            qk64 = qk.astype(U64)[..., None]
+            acc0 = t0 if acc0 is None else m.add_mod(acc0, t0, qk64)
+            acc1 = t1 if acc1 is None else m.add_mod(acc1, t1, qk64)
+        u0 = _flat(dp_key.inv_local(acc0, axis)).astype(ctx.word)
+        u1 = _flat(dp_key.inv_local(acc1, axis)).astype(ctx.word)
         u0 = ctx.mod_down.apply(u0[:ctx.k, :], u0[ctx.k, :])
         u1 = ctx.mod_down.apply(u1[:ctx.k, :], u1[ctx.k, :])
         q = ctx.q_base.q_dev.reshape(ctx.k, 1)
@@ -151,7 +153,7 @@ def sharded_relin_key(ctx: BfvContext, rlk, mesh: Mesh,
     n1 = dp_key.n1
 
     def to_dist(comp):  # [k_digits, kk, N] ntt-domain (per-chip plan)
-        coeff = ctx.plan_key.inv(comp)
+        coeff = ctx.plan_key.inv(comp).astype(U64)
         mat_view = coeff.reshape(*coeff.shape[:-1], n1, dp_key.n2)
         spec = P(None, None, None, axis)
         sharded = jax.device_put(mat_view, NamedSharding(mesh, spec))
