@@ -152,10 +152,15 @@ class BfvParams:
     def insecure(poly_degree: int = 1024, plain_modulus: int | None = None,
                  limbs: int = 2, limb_bits: int = 40) -> "BfvParams":
         """Small test parameters (reference: `SealContext::new_insecure`,
-        `seal_fhe/src/context.rs:92` + the `insecure-params` feature)."""
+        `seal_fhe/src/context.rs:92` + the `insecure-params` feature).
+        When the limbs fit the u32 engine (< 2^30) the special modulus
+        is capped at 30 bits too so the whole chain stays one word."""
         if plain_modulus is None:
             plain_modulus = batching_plain_modulus(poly_degree, 16)
-        sp = primes.gen_ntt_primes(limb_bits + 4, 1, poly_degree)[0]
+        sp_bits = limb_bits + 4
+        if limb_bits <= 30:
+            sp_bits = min(sp_bits, 30)
+        sp = primes.gen_ntt_primes(sp_bits, 1, poly_degree)[0]
         qs = tuple(primes.gen_ntt_primes(limb_bits, limbs, poly_degree,
                                          skip=(sp,)))
         return BfvParams(poly_degree, plain_modulus, qs, sp,
