@@ -43,10 +43,14 @@ class encryption:
 @dataclass(frozen=True)
 class UnivariateLookupTable:
     """A function baked into a PBS test polynomial (reference:
-    `UnivariateLookupTable` entity)."""
+    `UnivariateLookupTable` entity,
+    `sunscreen_tfhe/src/entities/univariate_lookup_table.rs`).
+    `n_fns > 1` marks a multifunctional table (interleaved layout) for
+    `evaluation.multifunctional_programmable_bootstrap`."""
 
     poly: object
     plaintext_bits: int
+    n_fns: int = 1
 
     @staticmethod
     def trivial_from_fn(fn, glwe: GlweDef,
@@ -54,6 +58,46 @@ class UnivariateLookupTable:
         return UnivariateLookupTable(
             ops.test_polynomial_for(fn, plaintext_bits, glwe),
             plaintext_bits)
+
+    @staticmethod
+    def trivial_multifunctional(fns, glwe: GlweDef, plaintext_bits: int
+                                ) -> "UnivariateLookupTable":
+        """Several functions in ONE table — one blind rotation
+        evaluates all of them (reference: `trivivial_multifunctional`
+        [sic], `univariate_lookup_table.rs:52-77`)."""
+        assert len(fns) > 1
+        return UnivariateLookupTable(
+            ops.test_polynomial_multi(fns, plaintext_bits, glwe),
+            plaintext_bits, n_fns=len(fns))
+
+
+@dataclass(frozen=True)
+class BivariateLookupTable:
+    """f(a, b) baked into a test polynomial over the packed message
+    a * 2^carry_bits + b (reference: `BivariateLookupTable` entity,
+    `sunscreen_tfhe/src/entities/bivariate_lookup_table.rs`)."""
+
+    poly: object
+    plaintext_bits: int
+    carry_bits: int
+
+    @staticmethod
+    def trivial_from_fn(fn, glwe: GlweDef, plaintext_bits: int,
+                        carry_bits: int | None = None
+                        ) -> "BivariateLookupTable":
+        if carry_bits is None:
+            carry_bits = plaintext_bits
+        return BivariateLookupTable(
+            ops.bivariate_test_polynomial(fn, plaintext_bits, glwe,
+                                          carry_bits),
+            plaintext_bits, carry_bits)
+
+    def as_univariate(self) -> UnivariateLookupTable:
+        """A bivariate table IS a univariate table over the packed
+        space (reference: `as_univariate`,
+        `bivariate_lookup_table.rs:55-60`)."""
+        return UnivariateLookupTable(
+            self.poly, self.plaintext_bits + self.carry_bits)
 
 
 class evaluation:
@@ -72,3 +116,23 @@ class evaluation:
             ks_radix: RadixDecomposition):
         return ops.programmable_bootstrap_univariate(
             lwe_ct, lut.poly, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+
+    @staticmethod
+    def multifunctional_programmable_bootstrap(
+            lwe_ct, lut: UnivariateLookupTable, bsk, ksk, lwe: LweDef,
+            glwe: GlweDef, pbs_radix: RadixDecomposition,
+            ks_radix: RadixDecomposition):
+        """Row j of the result encrypts lut.fns[j](m) — one blind
+        rotation for all functions."""
+        return ops.programmable_bootstrap_multifunctional(
+            lwe_ct, lut.poly, lut.n_fns, bsk, ksk, lwe, glwe,
+            pbs_radix, ks_radix)
+
+    @staticmethod
+    def bivariate_programmable_bootstrap(
+            ct_a, ct_b, lut: BivariateLookupTable, bsk, ksk,
+            lwe: LweDef, glwe: GlweDef, pbs_radix: RadixDecomposition,
+            ks_radix: RadixDecomposition):
+        return ops.programmable_bootstrap_bivariate(
+            ct_a, ct_b, None, bsk, ksk, lwe, glwe, pbs_radix, ks_radix,
+            lut.plaintext_bits, lut.carry_bits, test_poly=lut.poly)

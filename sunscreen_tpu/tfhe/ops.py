@@ -271,23 +271,28 @@ def generate_bootstrap_key(lwe_sk, glwe_sk, lwe: LweDef, glwe: GlweDef,
     return jnp.stack(rows)  # [n, k+1, l, k+1, N]
 
 
-def _mod_switch_2n(x, n: int):
-    """Torus u64 -> Z_2N with rounding."""
-    shift = TORUS_BITS - (n.bit_length() - 1) - 1  # log2(2N) kept bits
+def _mod_switch_2n(x, n: int, log_v: int = 0):
+    """Torus u64 -> Z_2N with rounding. `log_v > 0` zeroes the bottom
+    log_v bits (rounds to a multiple of 2^log_v) so a multifunctional
+    LUT's interleave alignment survives the rotation (reference:
+    `lwe_ciphertext_modulus_switch`'s log_v parameter,
+    `programmable_bootstrapping.rs:340-373`)."""
+    shift = TORUS_BITS - (n.bit_length() - 1) - 1 + log_v
     half = U64(1) << jnp.uint64(shift - 1)
-    return ((x + half) >> jnp.uint64(shift)).astype(I64) % (2 * n)
+    y = ((x + half) >> jnp.uint64(shift)).astype(I64) << log_v
+    return y % (2 * n)
 
 
 def blind_rotate(test_poly, lwe_ct, bsk, glwe: GlweDef,
-                 radix: RadixDecomposition):
+                 radix: RadixDecomposition, log_v: int = 0):
     """acc = X^{-b~} * v; for each i: acc = CMUX(bsk_i, acc,
     X^{a~_i} * acc). Returns GLWE([..., k+1, N]) whose phase is
     v * X^{-phase~} (reference: `blind_rotation.rs:202`)."""
     n = glwe.poly_degree
     a = lwe_ct[..., :-1]
     b = lwe_ct[..., -1]
-    b_t = _mod_switch_2n(b, n)
-    a_t = _mod_switch_2n(a, n)
+    b_t = _mod_switch_2n(b, n, log_v)
+    a_t = _mod_switch_2n(a, n, log_v)
     acc = trivial_glwe(negacyclic_monomial_mul(
         jnp.asarray(test_poly, dtype=U64), 2 * n - b_t, n), glwe)
 
@@ -300,17 +305,25 @@ def blind_rotate(test_poly, lwe_ct, bsk, glwe: GlweDef,
 
 def sample_extract(glwe_ct, params: GlweDef, coeff: int = 0):
     """GLWE -> LWE of coefficient `coeff` under the flattened key
-    (reference: `sample_extract`)."""
-    assert coeff == 0, "only coefficient 0 extraction (reference parity)"
+    (reference: `sample_extract`; the coeff > 0 form serves multi-value
+    PBS, which reads consecutive coefficients of one blind rotation).
+
+    a'_{j,t} = mask_j[(coeff - t) mod N], negated where t > coeff
+    (the X^N = -1 wrap)."""
     kk, n = params.size, params.poly_degree
+    h = int(coeff)
+    assert 0 <= h < n
     masks = glwe_ct[..., :kk, :]
     body = glwe_ct[..., kk, :]
-    # a'_{j,0} = mask_j[0]; a'_{j,t} = -mask_j[N-t] for t > 0
-    flipped = jnp.flip(masks[..., :, 1:], axis=-1)
-    neg = (-flipped.astype(I64)).astype(U64)
-    a = jnp.concatenate([masks[..., :, :1], neg], axis=-1)
+    # flip(roll(m, -(h+1)))[t] = m[(h - t) mod N]
+    rev = jnp.flip(jnp.roll(masks, -(h + 1), axis=-1), axis=-1)
+    if h + 1 < n:
+        neg_tail = (-rev[..., :, h + 1:].astype(I64)).astype(U64)
+        a = jnp.concatenate([rev[..., :, :h + 1], neg_tail], axis=-1)
+    else:
+        a = rev
     a = a.reshape(*a.shape[:-2], kk * n)
-    return jnp.concatenate([a, body[..., :1]], axis=-1)
+    return jnp.concatenate([a, body[..., h:h + 1]], axis=-1)
 
 
 def flatten_glwe_sk(glwe_sk):
@@ -387,6 +400,62 @@ def programmable_bootstrap_univariate(
     return keyswitch_lwe_to_lwe(extracted, ksk, lwe, ks_radix)
 
 
+def test_polynomial_multi(fns, plaintext_bits: int, glwe: GlweDef):
+    """Multifunctional test polynomial: the v functions are interleaved
+    within each message block so ONE blind rotation evaluates all of
+    them — output j is read by `sample_extract(.., coeff=j)`
+    (reference: `generate_lut` with multiple maps,
+    `programmable_bootstrapping.rs:126-170`, and the
+    `trivivial_multifunctional` entity constructor,
+    `entities/univariate_lookup_table.rs:52-77`).
+
+    Layout matches `test_polynomial_for`'s centered-bin convention:
+    the interleave index is assigned POST-centering so the extracted
+    coefficients 0..v-1 sit mid-block at the rotation's landing point.
+    Requires ceil_pow2(len(fns)) <= block/2 so all outputs land inside
+    one message bin."""
+    import numpy as np
+    n = glwe.poly_degree
+    space = 1 << plaintext_bits
+    block = n // (space // 2) if space > 1 else n
+    half = block // 2
+    v = len(fns)
+    assert v >= 1
+    ceil_v = 1 << (v - 1).bit_length()
+    assert ceil_v <= max(1, block // 2), (
+        f"{v} functions need blocks >= {2 * ceil_v} coefficients "
+        f"(N={n}, bits={plaintext_bits} gives block={block})")
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(n):
+        idx = i + half
+        wrap = idx >= n
+        idx_m = idx - n if wrap else idx
+        msg = (idx_m // block) % space if space > 1 else 0
+        fid = i % ceil_v
+        val = int(fns[fid](msg)) % space if fid < v else 0
+        enc = val << (TORUS_BITS - plaintext_bits)
+        out[i] = (-enc) % (1 << 64) if wrap else enc
+    return jnp.asarray(out)
+
+
+def programmable_bootstrap_multifunctional(
+        lwe_ct, test_poly_multi, n_fns: int, bsk, ksk, lwe: LweDef,
+        glwe: GlweDef, pbs_radix: RadixDecomposition,
+        ks_radix: RadixDecomposition):
+    """Multi-value PBS: ONE blind rotation, `n_fns` sample extractions
+    at consecutive coefficients, batched keyswitch. Returns
+    [n_fns, lwe_n+1] — row j encrypts fns[j](m) (reference: the
+    multifunctional LUT consumed by `generalized_programmable_bootstrap`
+    and friends, `programmable_bootstrapping.rs:34-170`)."""
+    log_v = (n_fns - 1).bit_length()
+    rotated = blind_rotate(test_poly_multi, lwe_ct, bsk, glwe,
+                           pbs_radix, log_v=log_v)
+    extracted = jnp.stack(
+        [sample_extract(rotated, glwe, coeff=j) for j in range(n_fns)])
+    return jax.vmap(
+        lambda c: keyswitch_lwe_to_lwe(c, ksk, lwe, ks_radix))(extracted)
+
+
 def test_polynomial_torus(fn_torus, plaintext_bits: int, glwe: GlweDef):
     """Like `test_polynomial_for` but fn returns raw torus values
     (needed by circuit bootstrapping to emit m * B_j)."""
@@ -407,29 +476,51 @@ def test_polynomial_torus(fn_torus, plaintext_bits: int, glwe: GlweDef):
     return jnp.asarray(v)
 
 
+def bivariate_test_polynomial(fn, plaintext_bits: int, glwe: GlweDef,
+                              carry_bits: int | None = None):
+    """Test polynomial for f(a, b) over the packed message
+    a * 2^carry_bits + b (reference: `generate_bivariate_lut`,
+    `programmable_bootstrapping.rs:429-452` — their
+    plaintext_bits <= carry_bits precondition, with carry_bits
+    defaulting to plaintext_bits for the symmetric packing)."""
+    if carry_bits is None:
+        carry_bits = plaintext_bits
+    assert plaintext_bits <= carry_bits, (
+        "plaintext_bits must be <= carry_bits "
+        "(reference precondition, programmable_bootstrapping.rs:439)")
+    total_bits = plaintext_bits + carry_bits
+
+    def f2(m):
+        hi = m >> carry_bits
+        lo = m & ((1 << carry_bits) - 1)
+        return int(fn(hi, lo)) % (1 << total_bits)
+
+    return test_polynomial_for(f2, total_bits, glwe)
+
+
 def programmable_bootstrap_bivariate(
         ct_a, ct_b, fn, bsk, ksk, lwe: LweDef, glwe: GlweDef,
         pbs_radix: RadixDecomposition, ks_radix: RadixDecomposition,
-        plaintext_bits: int):
-    """f(a, b) via message packing: combined = a * 2^bits + b, then a
-    univariate PBS over 2*bits (reference:
+        plaintext_bits: int, carry_bits: int | None = None,
+        test_poly=None):
+    """f(a, b) via message packing: combined = a * 2^carry + b, then a
+    univariate PBS over plaintext_bits + carry_bits (reference:
     `programmable_bootstrapping.rs` bivariate variant).
 
-    IMPORTANT: both inputs must be encrypted at `2*plaintext_bits`
-    total precision (i.e. `torus.encode(v, 2*plaintext_bits)`) so the
-    packing shift does not overflow the encoding; the top bit of the
-    packed space is the padding bit."""
-    packed = lwe_add(lwe_scalar_mul(ct_a, 1 << plaintext_bits), ct_b)
-    total_bits = 2 * plaintext_bits
-
-    def f2(m):
-        hi = m >> plaintext_bits
-        lo = m & ((1 << plaintext_bits) - 1)
-        return int(fn(hi, lo)) % (1 << total_bits)
-
-    tp = test_polynomial_for(f2, total_bits, glwe)
+    IMPORTANT: both inputs must be encrypted at the packed total
+    precision (i.e. `torus.encode(v, plaintext_bits + carry_bits)`) so
+    the packing shift does not overflow the encoding; the top bit of
+    the packed space is the padding bit. Pass `test_poly` (from
+    `bivariate_test_polynomial` / `BivariateLookupTable`) to reuse a
+    precomputed LUT."""
+    if carry_bits is None:
+        carry_bits = plaintext_bits
+    packed = lwe_add(lwe_scalar_mul(ct_a, 1 << carry_bits), ct_b)
+    if test_poly is None:
+        test_poly = bivariate_test_polynomial(fn, plaintext_bits, glwe,
+                                              carry_bits)
     return programmable_bootstrap_univariate(
-        packed, tp, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+        packed, test_poly, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
 
 
 # --------------------------------------------------------------------------

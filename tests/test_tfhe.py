@@ -159,3 +159,87 @@ def test_programmable_bootstrap():
             ct, test_poly, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
         got = int(ops.decrypt_lwe(out, lwe_sk, bits))
         assert got == (msg + 1) % 2, (msg, got)
+
+
+def test_sample_extract_nonzero_coeff():
+    """sample_extract(coeff=h) recovers message poly coefficient h
+    (the multi-value PBS read path)."""
+    glwe = TEST_GLWE_DEF_1
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 80))
+    bits = 3
+    msgs = RNG.integers(0, 1 << (bits - 1), glwe.poly_degree,
+                        dtype=np.uint64)
+    ct = ops.encrypt_glwe(torus.encode(jnp.asarray(msgs), bits), sk,
+                          glwe, jax.random.fold_in(KEY, 81))
+    flat_sk = ops.flatten_glwe_sk(sk)
+    for h in (0, 1, 5, glwe.poly_degree - 1):
+        lwe_ct = ops.sample_extract(ct, glwe, coeff=h)
+        got = int(torus.decode(
+            ops.decrypt_lwe_torus(lwe_ct, flat_sk), bits))
+        assert got == int(msgs[h]), (h, got, int(msgs[h]))
+
+
+def test_multifunctional_pbs():
+    """One blind rotation evaluating 3 functions (reference:
+    multifunctional LUT, `programmable_bootstrapping.rs:126-170`)."""
+    from sunscreen_tpu.tfhe.high_level import (UnivariateLookupTable,
+                                               evaluation)
+    glwe = TEST_GLWE_DEF_1
+    lwe = LWE_SMALL
+    pbs_radix = TEST_RADIX
+    ks_radix = RadixDecomposition(count=8, radix_log=6)
+    lwe_sk = ops.generate_binary_lwe_sk(lwe, jax.random.fold_in(KEY, 90))
+    glwe_sk = ops.generate_binary_glwe_sk(glwe,
+                                          jax.random.fold_in(KEY, 91))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, lwe, glwe,
+                                     pbs_radix,
+                                     jax.random.fold_in(KEY, 92))
+    ksk = ops.generate_keyswitch_key(
+        ops.flatten_glwe_sk(glwe_sk), lwe_sk, lwe, ks_radix,
+        jax.random.fold_in(KEY, 93))
+    bits = 2
+    fns = [lambda m: (m + 1) % 2, lambda m: m, lambda m: 1 - m]
+    lut = UnivariateLookupTable.trivial_multifunctional(fns, glwe, bits)
+    for msg in (0, 1):
+        ct = ops.encrypt_lwe(torus.encode(jnp.uint64(msg), bits),
+                             lwe_sk, lwe,
+                             jax.random.fold_in(KEY, 94 + msg))
+        outs = evaluation.multifunctional_programmable_bootstrap(
+            ct, lut, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+        for j, fn in enumerate(fns):
+            got = int(ops.decrypt_lwe(outs[j], lwe_sk, bits))
+            assert got == fn(msg) % 2, (msg, j, got)
+
+
+def test_bivariate_lookup_table_entity():
+    """BivariateLookupTable + precomputed-LUT bivariate PBS matches the
+    inline-fn path (reference: `bivariate_lookup_table.rs`)."""
+    from sunscreen_tpu.tfhe.high_level import (BivariateLookupTable,
+                                               evaluation)
+    glwe = TEST_GLWE_DEF_1
+    lwe = LWE_SMALL
+    pbs_radix = TEST_RADIX
+    ks_radix = RadixDecomposition(count=8, radix_log=6)
+    lwe_sk = ops.generate_binary_lwe_sk(lwe, jax.random.fold_in(KEY, 95))
+    glwe_sk = ops.generate_binary_glwe_sk(glwe,
+                                          jax.random.fold_in(KEY, 96))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, lwe, glwe,
+                                     pbs_radix,
+                                     jax.random.fold_in(KEY, 97))
+    ksk = ops.generate_keyswitch_key(
+        ops.flatten_glwe_sk(glwe_sk), lwe_sk, lwe, ks_radix,
+        jax.random.fold_in(KEY, 98))
+    bits = 1  # {0} x {0,1} messages at 2-bit packed precision
+    fn = lambda a, b: (a + b) % 2  # noqa: E731
+    lut = BivariateLookupTable.trivial_from_fn(fn, glwe, bits)
+    assert lut.as_univariate().plaintext_bits == 2 * bits
+    total = bits + lut.carry_bits
+    for (ma, mb) in ((0, 0), (0, 1)):
+        ca = ops.encrypt_lwe(torus.encode(jnp.uint64(ma), total),
+                             lwe_sk, lwe, jax.random.fold_in(KEY, 99))
+        cb = ops.encrypt_lwe(torus.encode(jnp.uint64(mb), total),
+                             lwe_sk, lwe, jax.random.fold_in(KEY, 100))
+        out = evaluation.bivariate_programmable_bootstrap(
+            ca, cb, lut, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+        got = int(ops.decrypt_lwe(out, lwe_sk, total))
+        assert got == fn(ma, mb), (ma, mb, got)
