@@ -88,9 +88,19 @@ class BfvStatements:
     statements: list = field(default_factory=list)
     witnesses: list = field(default_factory=list)
     messages: list = field(default_factory=list)  # uint64 [N] polys < t
+    # per-message (bound_bits | None, degree_bound | None) overrides
+    message_bounds: list = field(default_factory=list)
 
-    def add_message(self, pt) -> int:
+    def add_message(self, pt, bound_bits: int | None = None,
+                    degree_bound: int | None = None) -> int:
+        """Register a message polynomial. `bound_bits` bounds each
+        centered coefficient's magnitude (default: full plaintext
+        range); `degree_bound` constrains coefficients at index >=
+        degree_bound to ZERO (0-bit bounds), shrinking the binary
+        expansion — the reference's `Link::DEGREE_BOUND` mechanism
+        (`sunscreen_runtime/src/builder.rs:243-259,947-951`)."""
         self.messages.append(np.asarray(pt, dtype=np.uint64))
+        self.message_bounds.append((bound_bits, degree_bound))
         return len(self.messages) - 1
 
     def add_public_encryption(self, message_id: int, ct, pk, u, e0, e1):
@@ -208,7 +218,16 @@ class BfvStatements:
         # function of the s_1 bits (the reference instead remaps
         # in-circuit via SignedModulus — `bfv_plaintext.rs:95-107`).
         for mi, msg in enumerate(self.messages):
-            set_s(mi, [_lift_t(int(c), t) for c in msg], msg_bits)
+            mb, db = self.message_bounds[mi]
+            bits = mb if mb is not None else msg_bits
+            s_cols[mi] = [_lift_t(int(c), t) % q for c in msg]
+            per_coeff = _signed_poly_bounds(bits, d)
+            if db is not None:
+                assert all(int(c) == 0 or _lift_t(int(c), t) == 0
+                           for c in msg[db:]), \
+                    "message exceeds its declared degree bound"
+                per_coeff = per_coeff[:db] + [0] * (d - db)
+            bounds_cols[mi] = per_coeff
         for si, st in enumerate(self.statements):
             msg = self.messages[st.message_id]
             r = [((q_mod_t * int(c)) * 2 + t) // (2 * t)

@@ -47,11 +47,28 @@ SDLP_TRANSCRIPT_LABEL = b"sunscreen_tpu sdlp"
 @dataclass
 class LinkedMessage:
     """Handle to a message shared between the SDLP and a zkp program
-    (reference: `LinkedMessage`, builder.rs:278-293)."""
+    (reference: `LinkedMessage`, builder.rs:278-293).
+
+    Consumed in one of two link styles, resolved at `build_linked` from
+    the zkp program's signature:
+    - typed `Linked[BfvSigned...]` args (reference parity): the
+      message's SDLP expansion BITS become the program's first private
+      inputs and the circuit recombines them (`message_ids` may span
+      two polynomials for `BfvRational`);
+    - plain `Field` args (compact variant): the recombined field
+      `value` is the private input and `weights` recombine
+      out-of-circuit inside the bridge.
+    """
 
     message_id: int
     value: int            # field value fed to the zkp program
     weights: list[int]    # bit weights mod L over the message's s_1 bits
+    message_ids: tuple[int, ...] = ()   # all polys (Rational: (num, den))
+    type_name: str = "Signed"
+
+    def __post_init__(self):
+        if not self.message_ids:
+            self.message_ids = (self.message_id,)
 
 
 @dataclass
@@ -100,14 +117,18 @@ class SchnorrBridge:
 @dataclass
 class LinkedProof:
     """SDLP + R1CS + bridge (reference: `LinkedProof`,
-    linked.rs:32-52)."""
+    linked.rs:32-52). For typed `Linked[...]` programs the bridge binds
+    each shared BIT to its own BP input commitment (unit slices with
+    weight 1); for plain-Field programs it binds the recombined value
+    (the original weighted form)."""
 
     sdlp: lr.LogProof
     vk: lr.VerifierKnowledge
-    shared_slices: list[tuple[int, int]]   # bit ranges per linked message
+    shared_slices: list[tuple[int, int]]   # bit ranges per linked input
     weights: list[list[int]]
     bp_proof: BulletproofsProof
     bridge: SchnorrBridge
+    params: object = None   # BfvParams when the program has linked args
 
     def verify(self, zkp_program, public_inputs=(),
                constant_inputs=()) -> bool:
@@ -119,7 +140,12 @@ class LinkedProof:
             return False
         # 2. the R1CS proof
         backend = BulletproofsBackend()
-        prog = zkp_program.build()
+        if getattr(zkp_program, "linked_types", None):
+            if self.params is None:
+                return False
+            prog = zkp_program.build(params=self.params)
+        else:
+            prog = zkp_program.build()
         if not backend.verify(prog, self.bp_proof, public_inputs,
                               constant_inputs):
             return False
@@ -262,6 +288,8 @@ class LogProofBuilder:
                                       link=True)
 
     def _encrypt_internal(self, value, public_key, seed, link=False):
+        import jax
+
         from sunscreen_tpu.bfv import ops as bops
         from sunscreen_tpu.math import sampling
         from sunscreen_tpu.runtime.runtime import Ciphertext
@@ -269,20 +297,27 @@ class LogProofBuilder:
         polys = tcls.encode(value.value, self.ctx.params)
         if polys.ndim == 1:
             polys = polys[None, :]
-        assert polys.shape[0] == 1, \
-            "linked encryption supports single-ciphertext types"
-        pt = polys[0]
         key = sampling.key_from_seed(seed)
-        ct, (u, e0, e1) = bops.encrypt_return_components(
-            self.ctx, public_key.public_key, pt, key)
-        mid = self._add_message(pt)
-        self.statements.add_public_encryption(
-            mid, np.asarray(ct), public_key.public_key,
-            np.asarray(u), np.asarray(e0), np.asarray(e1))
-        wrapped = Ciphertext(tcls._type_name(), [ct], self.ctx.params)
+        cts = []
+        mids = []
+        for i in range(polys.shape[0]):
+            pt = polys[i]
+            ct, (u, e0, e1) = bops.encrypt_return_components(
+                self.ctx, public_key.public_key, pt,
+                jax.random.fold_in(key, i))
+            mid = self._add_message(pt)
+            self.statements.add_public_encryption(
+                mid, np.asarray(ct), public_key.public_key,
+                np.asarray(u), np.asarray(e0), np.asarray(e1))
+            cts.append(ct)
+            mids.append(mid)
+        wrapped = Ciphertext(tcls._type_name(), cts, self.ctx.params)
         if not link:
             return wrapped, None
-        return wrapped, self._link_message(mid, pt)
+        assert polys.shape[0] in (1, 2), \
+            "linked encryption supports 1- or 2-poly types"
+        return wrapped, self._link_message(mids, polys,
+                                           tcls.__name__)
 
     def _add_message(self, pt) -> int:
         """Register a message poly; signed ±1 digit encodings (Signed /
@@ -298,15 +333,19 @@ class LogProofBuilder:
         self._msg_bound_bits[mid] = 1
         return mid
 
-    def _link_message(self, mid: int, pt) -> LinkedMessage:
-        """Field value + bit weights for a registered message. Value =
+    def _link_message(self, mids, polys, type_name="Signed"
+                      ) -> LinkedMessage:
+        """Field value + bit weights for registered message(s). Value =
         sum_j lift(c_j) * 2^j mod L with centered digit lift (negative
         digits land as L - |v| in the field, matching the reference's
         2's-complement coefficient extraction +  signed recombination,
         `bfv_plaintext.rs:64-128`)."""
+        if isinstance(mids, int):
+            mids = [mids]
+            polys = np.asarray(polys)[None, :]
         t = self.ctx.params.plain_modulus
         val = 0
-        for i, c in enumerate(np.asarray(pt, dtype=np.uint64)):
+        for i, c in enumerate(np.asarray(polys[0], dtype=np.uint64)):
             d = int(c)
             if d > t // 2:
                 d -= t
@@ -316,7 +355,9 @@ class LogProofBuilder:
         for j in range(self.ctx.n):
             for w in tc:
                 weights.append((1 << j) * w % L)
-        msg = LinkedMessage(mid, val, weights)
+        msg = LinkedMessage(mids[0], val, weights,
+                            message_ids=tuple(mids),
+                            type_name=type_name)
         self._links.append(msg)
         return msg
 
@@ -381,7 +422,13 @@ class LogProofBuilder:
                      ) -> LinkedProof:
         """SDLP with shared message bits + BP proof whose first private
         inputs are the linked messages + bridge (reference:
-        `LinkedProofBuilder::build`, builder.rs:445)."""
+        `LinkedProofBuilder::build`, builder.rs:445). Typed
+        `Linked[BfvSigned...]` programs take the raw expansion bits
+        in-circuit; plain-Field programs take the recombined value."""
+        if getattr(zkp_program, "linked_types", None):
+            return self._build_linked_circuit(
+                zkp_program, extra_private_inputs, public_inputs,
+                constant_inputs)
         vk, pk_know = self._prover_knowledge()
         gens = _cached_generators(vk.l)
         u = lp_ipp.get_u()
@@ -420,3 +467,85 @@ class LogProofBuilder:
                                slices, weights, gens, u)
         return LinkedProof(sdlp_proof, vk, slices, weights, bp_proof,
                            bridge)
+
+    def _build_linked_circuit(self, zkp_program, extra_private_inputs,
+                              public_inputs, constant_inputs
+                              ) -> LinkedProof:
+        """Typed in-circuit links: raise the linked message columns to
+        full plaintext bounds with the type's degree bound, share their
+        complete bit expansions, feed the bits as the BP's first
+        private inputs, and bridge EACH bit to its own input commitment
+        (reference surface: `#[linked] x: BfvSigned`,
+        `types/zkp/bfv_plaintext.rs` + `builder.rs:947-951`; mechanism
+        delta: per-bit Schnorr bridge instead of shared-generator
+        A_I1 == w_shared, see module docstring)."""
+        params = self.ctx.params
+        t = params.plain_modulus
+        linked_types = zkp_program.linked_types
+        if len(linked_types) != len(self._links):
+            raise ValueError(
+                f"program has {len(linked_types)} linked args but "
+                f"{len(self._links)} links were returned by the builder")
+        compat = {"BfvSigned": ("Signed",),
+                  "BfvUnsigned64": ("Unsigned64", "Unsigned"),
+                  "BfvUnsigned128": ("Unsigned128",),
+                  "BfvRational": ("Rational",)}
+        bound = max(1, (t - 1).bit_length())
+        for ltype, link in zip(linked_types, self._links):
+            names = compat.get(ltype.__name__)
+            if names and not any(link.type_name.startswith(nm)
+                                 for nm in names):
+                raise TypeError(
+                    f"linked arg expects {ltype.__name__} but the "
+                    f"builder linked a {link.type_name}")
+            if ltype.N_POLYS != len(link.message_ids):
+                raise TypeError(
+                    f"{ltype.__name__} spans {ltype.N_POLYS} "
+                    f"polynomials; link has {len(link.message_ids)}")
+            d_bound = min(ltype.DEGREE_BOUND, params.poly_degree)
+            for mid in link.message_ids:
+                self.statements.message_bounds[mid] = (bound, d_bound)
+
+        vk, pk_know = self._prover_knowledge()
+        gens = _cached_generators(vk.l)
+        u = lp_ipp.get_u()
+        half_rho = secrets.randbelow(L)
+        shared_cols = [(mid, 0) for m in self._links
+                       for mid in m.message_ids]
+        sdlp_proof = lr.create(
+            Transcript(SDLP_TRANSCRIPT_LABEL), pk_know, gens.g, gens.h,
+            u, half_rho=half_rho, shared_indices=shared_cols)
+        all_slices = vk.b_slices()
+        msg_slices = [all_slices[mid][0] for m in self._links
+                      for mid in m.message_ids]
+
+        # the shared bits, in slice order (coeff-major, LSB-first —
+        # the same layout _LinkedTypeMeta.make_node nests)
+        s_1 = lr._binary_expand(vk, pk_know.s)
+        bits = []
+        bit_slices = []
+        for lo, hi in msg_slices:
+            bits.extend(s_1[lo:hi])
+            bit_slices.extend((p, p + 1) for p in range(lo, hi))
+        bit_weights = [[1]] * len(bits)
+
+        backend = BulletproofsBackend()
+        prog = zkp_program.build(params=params)
+        private = bits + [int(x) for x in extra_private_inputs]
+        bp_proof, blindings = backend.prove_with_blindings(
+            prog, private, [int(x) for x in public_inputs],
+            [int(x) for x in constant_inputs])
+
+        shared_idx = set()
+        for lo, hi in msg_slices:
+            shared_idx.update(range(lo, hi))
+        unshared_exps = [s_1[i] for i in range(vk.l)
+                         if i not in shared_idx] \
+            + [1 - b for b in s_1]
+        vs = bp_proof.commitments[:len(bits)]
+        bridge = _prove_bridge(bits, unshared_exps, half_rho,
+                               blindings[:len(bits)],
+                               sdlp_proof.w_shared, sdlp_proof.w, vs,
+                               bit_slices, bit_weights, gens, u)
+        return LinkedProof(sdlp_proof, vk, bit_slices, bit_weights,
+                           bp_proof, bridge, params=params)

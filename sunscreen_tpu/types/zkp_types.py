@@ -115,19 +115,47 @@ class _KindAnnotation:
     def __init__(self, kind: str):
         self.kind = kind
 
-    def __getitem__(self, inner):
+    def __getitem__(self, item):
+        """`Private[Field]` scalar, or `Private[Field, (64, 8)]` /
+        `Private[Field, 5]` array args (reference:
+        `[[Field<F>; 8]; 64]` program arguments, e.g.
+        `sunscreen/benches/fractional_range_proof.rs:88`)."""
+        if item is Field:
+            return _FieldAnnotation(self.kind)
+        inner, shape = item
         assert inner is Field
-        return _FieldAnnotation(self.kind)
+        if isinstance(shape, int):
+            shape = (shape,)
+        return _FieldAnnotation(self.kind, tuple(int(s) for s in shape))
 
 
 class _FieldAnnotation:
-    def __init__(self, kind: str):
+    def __init__(self, kind: str, shape: tuple[int, ...] | None = None):
         self.kind = kind
+        self.shape = shape
+
+    @property
+    def count(self) -> int:
+        if self.shape is None:
+            return 1
+        n = 1
+        for s in self.shape:
+            n *= s
+        return n
 
 
 Private = _KindAnnotation("private")
 Public = _KindAnnotation("public")
 Constant = _KindAnnotation("constant")
+
+
+def _nest(flat: list, shape: tuple[int, ...]):
+    """Flat node list -> nested python lists of the given shape."""
+    if len(shape) == 1:
+        return list(flat)
+    sub = len(flat) // shape[0]
+    return [_nest(flat[i * sub:(i + 1) * sub], shape[1:])
+            for i in range(shape[0])]
 
 
 # --------------------------------------------------------------------------
@@ -224,6 +252,163 @@ class SignedModulus(Gadget):
 
 
 # --------------------------------------------------------------------------
+# linked BFV plaintext types (reference:
+# sunscreen/src/types/zkp/bfv_plaintext.rs — BfvSigned / BfvUnsigned64 /
+# BfvUnsigned128 / BfvRational — and the #[linked] argument surface,
+# sunscreen_compiler_macros/src/zkp_program.rs:110-164)
+# --------------------------------------------------------------------------
+
+class Linked:
+    """`Linked[BfvSigned]` argument annotation: the argument's field
+    inputs are the SDLP's shared witness bits for a linked BFV
+    plaintext; the node recombines them IN-CIRCUIT."""
+
+    def __class_getitem__(cls, inner):
+        assert inner in (BfvSigned, BfvUnsigned64, BfvUnsigned128,
+                         BfvRational), inner
+        return _LinkedAnnotation(inner)
+
+
+class _LinkedAnnotation:
+    def __init__(self, inner):
+        self.inner = inner
+
+
+def _bits_per_coeff(plain_modulus: int) -> int:
+    """Bits in the SDLP expansion of one centered message coefficient:
+    the magnitude bound (t-1).bit_length() plus the sign bump
+    (`VerifierKnowledge.b()`; reference `builder.rs:948` uses
+    ceil_log2(t) magnitude bits the same way)."""
+    return max(1, (plain_modulus - 1).bit_length()) + 1
+
+
+class _BfvPlaintextNode:
+    """Program node over one linked plaintext polynomial: a
+    [degree_bound][bits_per_coeff] grid of bit nodes (LSB first,
+    trailing sign bit), matching `twos_complement_bits` of the CENTERED
+    coefficients. Because the SDLP stores message coefficients centered
+    (bfv_statement.py), the in-circuit recombination is plain
+    2's-complement — linear, no SignedModulus gadget (delta from
+    `bfv_plaintext.rs:64-108`, which re-centers in-circuit; documented
+    behavioral parity)."""
+
+    def __init__(self, bit_grid: list[list[Field]], fresh_bound: int):
+        self.bit_grid = bit_grid
+        self.fresh_bound = fresh_bound
+
+    def _coefficients(self) -> list[Field]:
+        """Centered coefficient nodes c_j = sum b_i 2^i - sign 2^(B-1)
+        (reference: `extract_coefficients`, bfv_plaintext.rs:64-108)."""
+        out = []
+        for bits in self.bit_grid:
+            b = len(bits)
+            acc = None
+            for i, bit in enumerate(bits):
+                w = (1 << i) if i < b - 1 else -(1 << (b - 1))
+                term = bit * w
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+
+    def into_field_elem(self) -> Field:
+        """Decode per the Signed encoding: sum_j c_j * 2^j (reference:
+        `AsFieldElement::into_field_elem`, bfv_plaintext.rs:110-128)."""
+        acc = None
+        for j, c in enumerate(self._coefficients()):
+            term = c * (1 << j)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def constrain_fresh_encoding(self) -> None:
+        """Coefficients within the fresh degree bound are ternary,
+        beyond it zero (reference: `ConstrainFresh`,
+        bfv_plaintext.rs:131-155)."""
+        for j, c in enumerate(self._coefficients()):
+            if j < self.fresh_bound:
+                (c * (c - 1) * (c + 1)).constrain_zero()
+            else:
+                c.constrain_zero()
+
+
+class _BfvRationalNode:
+    """Numerator/denominator pair of linked signed plaintexts
+    (reference: `BfvRational`, bfv_plaintext.rs:185-189)."""
+
+    def __init__(self, num: _BfvPlaintextNode, den: _BfvPlaintextNode):
+        self.num = num
+        self.den = den
+
+    def into_field_elems(self) -> tuple[Field, Field]:
+        return self.num.into_field_elem(), self.den.into_field_elem()
+
+    def constrain_fresh_encoding(self) -> None:
+        self.num.constrain_fresh_encoding()
+        self.den.constrain_fresh_encoding()
+
+
+class _LinkedTypeMeta:
+    """DEGREE_BOUND: linked polynomial degree (coefficients beyond it
+    are constrained to 0 in the SDLP); FRESH_BOUND: ternary-digit
+    degree bound for a freshly encoded value (reference `M`)."""
+
+    DEGREE_BOUND = 128
+    FRESH_BOUND = 64
+    N_POLYS = 1
+
+    @classmethod
+    def num_native_field_elements(cls, plain_modulus: int,
+                                  poly_degree: int) -> int:
+        d = min(cls.DEGREE_BOUND, poly_degree)
+        return cls.N_POLYS * d * _bits_per_coeff(plain_modulus)
+
+    @classmethod
+    def make_node(cls, fields: list[Field], plain_modulus: int,
+                  poly_degree: int):
+        b = _bits_per_coeff(plain_modulus)
+        d = min(cls.DEGREE_BOUND, poly_degree)
+        fresh = min(cls.FRESH_BOUND, d)
+        polys = []
+        per = d * b
+        for p in range(cls.N_POLYS):
+            grid = _nest(fields[p * per:(p + 1) * per], (d, b))
+            polys.append(_BfvPlaintextNode(grid, fresh))
+        if cls.N_POLYS == 1:
+            return polys[0]
+        return _BfvRationalNode(*polys)
+
+
+class BfvSigned(_LinkedTypeMeta):
+    """Linked `Signed` (reference: `BfvSigned<F>` +
+    `LinkWithZkp for Signed`, `signed.rs:51` DEGREE_BOUND=128)."""
+
+    DEGREE_BOUND = 128
+    FRESH_BOUND = 64
+
+
+class BfvUnsigned64(_LinkedTypeMeta):
+    """Linked `Unsigned64` (reference: `unsigned.rs:355`)."""
+
+    DEGREE_BOUND = 128
+    FRESH_BOUND = 64
+
+
+class BfvUnsigned128(_LinkedTypeMeta):
+    """Linked `Unsigned128` (reference: `unsigned.rs:360`)."""
+
+    DEGREE_BOUND = 255
+    FRESH_BOUND = 128
+
+
+class BfvRational(_LinkedTypeMeta):
+    """Linked `Rational`: two signed polynomials (num, den)
+    (reference: `rational.rs:34`)."""
+
+    DEGREE_BOUND = 128
+    FRESH_BOUND = 64
+    N_POLYS = 2
+
+
+# --------------------------------------------------------------------------
 # @zkp_program
 # --------------------------------------------------------------------------
 
@@ -233,22 +418,53 @@ class ZkpProgramFn:
         self.name = fn.__name__
         self.backend_name = backend
         sig = inspect.signature(fn)
-        self.arg_kinds: list[str] = []
+        self.args: list = []        # _FieldAnnotation | _LinkedAnnotation
+        self.linked_types: list = []
         for p in sig.parameters.values():
             ann = p.annotation
             if ann is Field or ann is inspect.Parameter.empty:
-                self.arg_kinds.append("private")
+                ann = _FieldAnnotation("private")
+            if isinstance(ann, _LinkedAnnotation):
+                if any(isinstance(a, _FieldAnnotation) for a in self.args):
+                    raise TypeError(
+                        f"linked arg {p.name!r} must precede all other "
+                        "args (reference: zkp_program.rs:110-164)")
+                self.args.append(ann)
+                self.linked_types.append(ann.inner)
             elif isinstance(ann, _FieldAnnotation):
-                self.arg_kinds.append(ann.kind)
+                self.args.append(ann)
             else:
                 raise TypeError(
                     f"zkp_program arg {p.name!r}: annotate with Field / "
-                    "Private[Field] / Public[Field] / Constant[Field]")
-        self._cache: ZkpProgram | None = None
+                    "Private[Field] / Public[Field] / Constant[Field] / "
+                    "Private[Field, shape] / Linked[BfvSigned...]")
+        self._cache: dict = {}
 
-    def build(self) -> ZkpProgram:
-        if self._cache is not None:
-            return self._cache
+    @property
+    def arg_kinds(self) -> list[str]:
+        """Kinds of the non-linked args (compat surface)."""
+        return [a.kind for a in self.args
+                if isinstance(a, _FieldAnnotation)]
+
+    def num_linked_inputs(self, params) -> int:
+        """Total private inputs consumed by the linked-arg prefix."""
+        return sum(t.num_native_field_elements(params.plain_modulus,
+                                               params.poly_degree)
+                   for t in self.linked_types)
+
+    def build(self, params=None) -> ZkpProgram:
+        """Trace to a ZkpProgram. Programs with `Linked[...]` args are
+        parameter-dependent (input width scales with log2 t and N) and
+        require `params` (reference: the Compiler passes the FHE params
+        through, `sunscreen/src/compiler.rs:360-457`)."""
+        if self.linked_types and params is None:
+            raise TypeError(
+                f"zkp_program {self.name!r} has linked args; build/prove "
+                "it through a runtime or pass params=")
+        cache_key = (None if params is None
+                     else (params.plain_modulus, params.poly_degree))
+        if cache_key in self._cache:
+            return self._cache[cache_key]
         ctx = ZkpProgramContext()
         prev = getattr(_TLS, "ctx", None)
         _TLS.ctx = ctx
@@ -257,15 +473,30 @@ class ZkpProgramFn:
             op_of = {"private": ZkpOp.PRIVATE_INPUT,
                      "public": ZkpOp.PUBLIC_INPUT,
                      "constant": ZkpOp.CONSTANT_INPUT}
-            args = []
-            for kind in self.arg_kinds:
+
+            def fresh(kind):
                 idx = counters[kind]
                 counters[kind] += 1
-                args.append(Field(ctx.emit(op_of[kind], (), idx)))
+                return Field(ctx.emit(op_of[kind], (), idx))
+
+            args = []
+            for ann in self.args:
+                if isinstance(ann, _LinkedAnnotation):
+                    count = ann.inner.num_native_field_elements(
+                        params.plain_modulus, params.poly_degree)
+                    fields = [fresh("private") for _ in range(count)]
+                    args.append(ann.inner.make_node(
+                        fields, params.plain_modulus,
+                        params.poly_degree))
+                elif ann.shape is None:
+                    args.append(fresh(ann.kind))
+                else:
+                    flat = [fresh(ann.kind) for _ in range(ann.count)]
+                    args.append(_nest(flat, ann.shape))
             self.fn(*args)
         finally:
             _TLS.ctx = prev
-        self._cache = ctx.prog
+        self._cache[cache_key] = ctx.prog
         return ctx.prog
 
 

@@ -121,3 +121,68 @@ def test_reencrypt_statement(rt_keys):
     sdlp = builder.build_sdlp()
     assert sdlp.verify()
     assert rt.decrypt(new_ct, priv) == 31
+
+
+# -- typed in-circuit linked args (reference: types/zkp/bfv_plaintext.rs,
+#    #[linked] surface zkp_program.rs:110-164) ------------------------------
+
+def test_linked_bfv_signed_in_circuit(rt_keys):
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+
+    @zkp_program()
+    def signed_equals(x: Linked[BfvSigned], y: Public[Field]):
+        x.constrain_fresh_encoding()
+        v = x.into_field_elem()
+        v.constrain_eq(y)
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    ct, link = builder.encrypt_returning_link(Signed(-42), pub, seed=21)
+    want = (-42) % \
+        0x1000000000000000000000000000000014def9dea2f79cd65812631a5cf5d3ed
+    proof = builder.build_linked(signed_equals, public_inputs=[want])
+    assert proof.verify(signed_equals, public_inputs=[want])
+    assert not proof.verify(signed_equals, public_inputs=[42])
+    assert rt.decrypt(ct, priv) == -42
+
+
+def test_linked_bfv_signed_range_proof(rt_keys):
+    """The reference's fractional-range-proof shape: prove
+    0 <= unshielded <= balance with the balance a linked plaintext
+    (sunscreen/benches/fractional_range_proof.rs, here with the typed
+    linked surface)."""
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+
+    @zkp_program()
+    def in_balance(balance: Linked[BfvSigned],
+                   unshielded: Public[Field]):
+        diff = balance.into_field_elem() - unshielded
+        diff.to_unsigned(16)          # 0 <= balance - unshielded < 2^16
+        unshielded.to_unsigned(16)
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Signed(1000), pub, seed=22)
+    proof = builder.build_linked(in_balance, public_inputs=[400])
+    assert proof.verify(in_balance, public_inputs=[400])
+    # tx larger than the balance must not verify
+    assert not proof.verify(in_balance, public_inputs=[40000])
+
+
+def test_linked_type_mismatch_rejected(rt_keys):
+    from sunscreen_tpu.types import Unsigned64
+    from sunscreen_tpu.types.zkp_types import BfvRational, Linked
+
+    @zkp_program()
+    def rational_prog(x: Linked[BfvRational]):
+        num, den = x.into_field_elems()
+        num.constrain_eq(num)
+        del den
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Unsigned64(5), pub, seed=23)
+    with pytest.raises(TypeError):
+        builder.build_linked(rational_prog)
