@@ -232,6 +232,12 @@ class Compiler:
     def compile(self) -> Application:
         if not self._programs and not self._zkp_programs:
             raise ValueError("no programs to compile")
+        if (len(self._programs) > 1
+                and any(pf.chain_count != 1 for pf in self._programs)):
+            from sunscreen_tpu.errors import Unsupported
+            raise Unsupported(
+                "chain_count > 1 requires compiling exactly one program "
+                "(reference: compiler.rs chaining restriction)")
         params = None
         if self._programs:
             params = self._params or self._search_params()

@@ -17,3 +17,8 @@ class InvalidArgument(SunscreenError):
 class ParamsError(SunscreenError):
     """An invalid BFV/TFHE parameter set (reference: seal_fhe
     `EncryptionParameterError` / params validation)."""
+
+
+class Unsupported(SunscreenError):
+    """A requested feature combination is not supported (reference:
+    `sunscreen::Error::Unsupported`, `sunscreen/src/error.rs`)."""
