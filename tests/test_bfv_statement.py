@@ -118,3 +118,40 @@ def test_decryption_statement(setup):
                    u_gen)
     assert verify(proof, Transcript(b"bfv-dec"), vk, gens.g, gens.h,
                   u_gen)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SUNSCREEN_TPU_SLOW_TESTS"),
+    reason="~2.5 min; run with SUNSCREEN_TPU_SLOW_TESTS=1 "
+           "(driver bench: benchmarks/sdlp_bench.py)")
+def test_sdlp_at_production_parameters():
+    """Prove + verify a PublicKeyEncryption statement at N=1024/k=2 —
+    the reference's `logproof/tests/seal.rs:10-56` regime."""
+    import jax
+    from sunscreen_tpu.logproof import LogProofGenerators, create, \
+        verify
+    from sunscreen_tpu.logproof import inner_product as ip
+
+    params = BfvParams.insecure(poly_degree=1024, limbs=2, limb_bits=28)
+    ctx = get_context(params)
+    key = jax.random.key(2)
+    sk = keys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+    pk = keys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+    rng = np.random.default_rng(1)
+    pt = rng.integers(0, ctx.t, ctx.n, dtype=np.uint64)
+    ct, (u, e0, e1) = ops.encrypt_return_components(
+        ctx, pk, pt, jax.random.fold_in(key, 2))
+    np.testing.assert_array_equal(np.asarray(ops.decrypt(ctx, sk, ct)),
+                                  pt)
+    st = BfvStatements(ctx)
+    mid = st.add_message(pt)
+    st.add_public_encryption(mid, np.asarray(ct), pk, np.asarray(u),
+                             np.asarray(e0), np.asarray(e1))
+    vk, pk_know = st.build()
+    assert vk.d == 1024 and vk.l > 100_000
+    gens = LogProofGenerators(vk.l)
+    u_gen = ip.get_u()
+    proof = create(Transcript(b"bfv-sdlp-prod"), pk_know, gens.g,
+                   gens.h, u_gen)
+    assert verify(proof, Transcript(b"bfv-sdlp-prod"), vk, gens.g,
+                  gens.h, u_gen)
