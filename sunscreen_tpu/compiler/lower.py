@@ -69,3 +69,48 @@ def lower_program(compiled, ctx, rlk=None, gks=None, jit: bool = True):
         return [vals[o] for o in prog.outputs]
 
     return jax.jit(run) if jit else run
+
+
+def lower_program_sharded(compiled, ctx, mesh, rlk=None, gks=None,
+                          ct_spec=None, pt_spec=None):
+    """Mesh-aware lowering: the SAME op graph jitted with
+    `jax.sharding` annotations so GSPMD partitions every op — multiply,
+    keyswitch, and galois rotations (whose coefficient permutations XLA
+    lowers to collective permutes / all-to-alls on the sharded axis)
+    — with XLA inserting the collectives (SURVEY.md §5 scale recipe;
+    reference scale analogue: the rayon interpreter,
+    `sunscreen_runtime/src/run.rs:372-472`).
+
+    `ct_spec`: PartitionSpec for ciphertext args, matching their
+    [batch?, n_comp, k, N] shape (default: batch-sharded over the
+    mesh's first axis, limb-sharded over its second when present).
+    `pt_spec`: spec for plaintext args (default: replicated). Keys
+    (rlk/gks) travel as closure constants; shard them with device_put
+    beforehand if desired.
+
+    Returns fn(*args) -> [outputs] with in/out shardings bound.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if ct_spec is None:
+        axes = mesh.axis_names
+        limb = axes[1] if len(axes) > 1 else None
+        ct_spec = P(axes[0], None, limb, None)
+    if pt_spec is None:
+        pt_spec = P()
+    fn = lower_program(compiled, ctx, rlk=rlk, gks=gks, jit=False)
+    ct_sh = NamedSharding(mesh, ct_spec)
+    pt_sh = NamedSharding(mesh, pt_spec)
+
+    n_inputs = sum(1 for nd in compiled.prog.nodes
+                   if nd.op in (Op.INPUT_CIPHERTEXT,
+                                Op.INPUT_PLAINTEXT))
+    kinds = [None] * n_inputs
+    for nd in compiled.prog.nodes:
+        if nd.op == Op.INPUT_CIPHERTEXT:
+            kinds[nd.data] = "ct"
+        elif nd.op == Op.INPUT_PLAINTEXT:
+            kinds[nd.data] = "pt"
+    in_shardings = tuple(ct_sh if k == "ct" else pt_sh for k in kinds)
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=ct_sh)

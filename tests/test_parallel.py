@@ -133,3 +133,54 @@ def test_sharded_multiply_relin_matches_single_chip():
     dec = np.asarray(bops.decrypt(ctx, sk, jnp.asarray(got)))
     dec_want = np.asarray(bops.decrypt(ctx, sk, jnp.asarray(want)))
     np.testing.assert_array_equal(dec, dec_want)
+
+
+def test_sharded_full_program_lowering():
+    """A whole compiled FHE program (mul+relin, rotation, adds) run
+    with GSPMD batch x limb sharding is bit-identical to the
+    single-chip lowering (compiler/lower.py lower_program_sharded —
+    VERDICT round-2 item 6: mesh-aware full-program execution)."""
+    import jax.random as jr
+
+    from sunscreen_tpu.bfv import BfvParams
+    from sunscreen_tpu.compiler import Compiler
+    from sunscreen_tpu.compiler.lower import lower_program_sharded
+    from sunscreen_tpu.compiler.trace import fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Batched, Cipher
+
+    params = BfvParams.insecure(poly_degree=64, limbs=2, limb_bits=40)
+    rt = Runtime.new_fhe_zkp(params)
+    pub, priv = rt.generate_keys(seed=9)
+
+    @fhe_program(scheme="bfv")
+    def workload(a: Cipher[Batched], b: Cipher[Batched]):
+        prod = a * b
+        rot = prod << 1
+        return rot + a - b
+
+    app = Compiler().with_params(params).fhe_program(workload).compile()
+    prog = app.get_program(workload)
+
+    batch = 4
+    rows = np.arange(params.poly_degree, dtype=np.uint64) % 17
+    pt = rt.ctx.params  # noqa: F841 (context sanity)
+    a_cts = jnp.stack([
+        rt.encrypt(Batched(rows + i), pub, seed=30 + i).cts[0]
+        for i in range(batch)])
+    b_cts = jnp.stack([
+        rt.encrypt(Batched(rows * 2 + i), pub, seed=40 + i).cts[0]
+        for i in range(batch)])
+
+    from sunscreen_tpu.compiler.lower import lower_program
+    single = lower_program(prog, rt.ctx, rlk=pub.relin_key,
+                           gks=pub.galois_keys)
+    want = np.asarray(single(a_cts, b_cts)[0])
+
+    devices = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, axis_names=("batch", "limb"))
+    sharded = lower_program_sharded(prog, rt.ctx, mesh,
+                                    rlk=pub.relin_key,
+                                    gks=pub.galois_keys)
+    got = np.asarray(sharded(a_cts, b_cts)[0])
+    np.testing.assert_array_equal(got, want)
