@@ -200,28 +200,41 @@ def _select(mask, p, q):
 def _segmented_scan(points, seg_start):
     """Inclusive segmented point-sum scan along axis 0: positions where
     seg_start is True restart the accumulation. Each segment's total
-    lands at its last index."""
+    lands at its last index.
 
-    def combine(left, right):
-        summed = padd({k: left[k] for k in COORDS},
-                      {k: right[k] for k in COORDS})
-        out = _select(right["s"], {k: right[k] for k in COORDS}, summed)
-        out["s"] = jnp.logical_or(left["s"], right["s"])
-        return out
+    Segmented Hillis-Steele inside ONE `fori_loop` whose body holds a
+    single `padd` instance — `lax.associative_scan` unrolled log2(n)
+    copies of the unified-add subgraph and OOM'd the XLA-TPU compile at
+    n=4096 (PERF_NOTES round-2 "TPU MSM status"). Work is n*log2(n)
+    adds instead of Blelloch's n, but every level is one full-width
+    vector op — the right trade on a VPU."""
+    n = int(seg_start.shape[0])
+    levels = max(1, (n - 1).bit_length())
+    idx = jnp.arange(n, dtype=jnp.int32)
 
-    carrier = {k: points[k] for k in COORDS}
-    carrier["s"] = seg_start
-    res = jax.lax.associative_scan(combine, carrier, axis=0)
-    return {k: res[k] for k in COORDS}
+    def body(i, carry):
+        x, f = carry
+        d = jnp.left_shift(jnp.int32(1), i)
+        prev = {k: jnp.roll(x[k], d, axis=0) for k in COORDS}
+        pf = jnp.roll(f, d)
+        valid = idx >= d
+        summed = padd(prev, x)
+        # x'[j] = x[j] if f[j] (segment head) or j < d, else x[j-d]+x[j]
+        new = _select(jnp.logical_or(f, ~valid), x, summed)
+        nf = jnp.where(valid, jnp.logical_or(f, pf), f)
+        return new, nf
+
+    x = {k: points[k] for k in COORDS}
+    x, _ = jax.lax.fori_loop(0, levels, body, (x, seg_start))
+    return x
 
 
 def _tree_sum(pts, m):
-    while m > 1:
-        half = m // 2
-        pts = padd({k: pts[k][:half] for k in COORDS},
-                   {k: pts[k][half:m] for k in COORDS})
-        m = half
-    return {k: pts[k][0] for k in COORDS}
+    """Total of m points: a one-segment scan (reuses the single-padd
+    fori_loop form) read at its last slot."""
+    flag = jnp.zeros((m,), bool).at[0].set(True)
+    res = _segmented_scan({k: pts[k][:m] for k in COORDS}, flag)
+    return {k: res[k][m - 1] for k in COORDS}
 
 
 def msm_tpu_fn(digits, pts, c: int):
