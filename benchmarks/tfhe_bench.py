@@ -1,0 +1,96 @@
+"""TFHE programmable-bootstrap throughput/latency benchmark at the
+reference's 80-bit parameter sets (reference: the criterion suite
+`sunscreen_tfhe/benches/ops.rs:27-404` — `programmable bootstrapping`
+group, LWE_512_80 -> GLWE_1_1024_80, radix 3x4).
+
+Measures single-PBS latency and vmapped batched-PBS throughput on the
+current jax backend (run WITHOUT a cpu override to target the TPU).
+Usage: python benchmarks/tfhe_bench.py [batch] [iters]
+Prints one JSON line. Recorded numbers: benchmarks/PERF_NOTES.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sunscreen_tpu.tfhe import (GlweDef, LweDef,  # noqa: E402
+                                RadixDecomposition)
+from sunscreen_tpu.tfhe import ops, torus  # noqa: E402
+
+# reference 80-bit sets (params.rs:263-284) + bench radix (ops.rs)
+LWE = LweDef(dim=512, std=0.000001842343446823844)
+GLWE = GlweDef(size=1, poly_degree=1024, std=1.0900242107812643e-12)
+PBS_RADIX = RadixDecomposition(count=3, radix_log=4)
+KS_RADIX = RadixDecomposition(count=7, radix_log=2)
+BITS = 1  # 1 message bit + 1 padding (the reference bench's setting)
+
+
+def main():
+    key = jax.random.key(11)
+    lwe_sk = ops.generate_binary_lwe_sk(LWE, jax.random.fold_in(key, 0))
+    glwe_sk = ops.generate_binary_glwe_sk(GLWE,
+                                          jax.random.fold_in(key, 1))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, LWE, GLWE,
+                                     PBS_RADIX,
+                                     jax.random.fold_in(key, 2))
+    ksk = ops.generate_keyswitch_key(
+        ops.flatten_glwe_sk(glwe_sk), lwe_sk, LWE, KS_RADIX,
+        jax.random.fold_in(key, 3))
+    tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, 2, GLWE)
+
+    @jax.jit
+    def pbs_one(ct):
+        return ops.programmable_bootstrap_univariate(
+            ct, tp, bsk, ksk, LWE, GLWE, PBS_RADIX, KS_RADIX)
+
+    @jax.jit
+    def pbs_batch(cts):
+        return jax.vmap(lambda c: ops.programmable_bootstrap_univariate(
+            c, tp, bsk, ksk, LWE, GLWE, PBS_RADIX, KS_RADIX))(cts)
+
+    msgs = jnp.arange(batch, dtype=jnp.uint64) % 2
+    cts = jax.vmap(lambda m, k: ops.encrypt_lwe(
+        torus.encode(m, 2), lwe_sk, LWE, k))(
+        msgs, jax.random.split(jax.random.fold_in(key, 4), batch))
+
+    one = jax.block_until_ready(pbs_one(cts[0]))   # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one = pbs_one(cts[0])
+    jax.block_until_ready(one)
+    lat_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    out = jax.block_until_ready(pbs_batch(cts))    # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pbs_batch(cts)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    thr = batch / dt
+
+    # correctness: f(m) = m+1 mod 2 on every lane
+    got = jax.vmap(lambda c: ops.decrypt_lwe(c, lwe_sk, BITS))(out)
+    import numpy as np
+    want = (np.asarray(msgs) + 1) % 2
+    assert np.array_equal(np.asarray(got), want), "PBS result wrong"
+
+    print(json.dumps({
+        "metric": "tfhe_pbs_lwe512_glwe1x1024",
+        "latency_ms": round(lat_ms, 2),
+        "batch": batch,
+        "throughput_pbs_per_s": round(thr, 1),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
