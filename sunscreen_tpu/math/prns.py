@@ -1,0 +1,284 @@
+"""Fused Pallas RNS conversion kernels for the u32 engine.
+
+The round-3 phase profile (benchmarks/PERF_NOTES.md) shows the RNS
+glue — base extension, scale-and-round, base conversion — costing more
+than the NTTs once the NTT stages were fused: each phase is a chain of
+~30 unfused XLA passes of synthesized 32-bit arithmetic. These kernels
+compute a whole conversion (normalize -> exact 128-bit fixed-point
+alpha/r -> theta/omega limb contraction -> per-modulus reduction) in
+ONE VMEM residency per block, coefficients on lanes.
+
+Bit-exact replacements for `math/rns.py`'s `BaseConverter.convert` and
+`ScaleAndRound.apply` (HPS machinery; SEAL analogue:
+`util::BaseConverter::fast_convert_array` / `RNSTool::fastbconv_sk` —
+reference engine surface, SURVEY.md §2.4), pinned by
+tests/test_prns.py. u32 engine only (all moduli < 2^30).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sunscreen_tpu.math import modular as m
+
+U32 = jnp.uint32
+
+_NB = 2048  # lane-block (coefficients per grid step)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel u32 primitives
+# ---------------------------------------------------------------------------
+
+
+def _mul32(a, b):
+    """Full 32x32 -> (hi, lo) u32 product via 16-bit halves."""
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    mid = (p00 >> 16) + (p01 & 0xFFFF) + (p10 & 0xFFFF)
+    hi = a1 * b1 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    lo = (p00 & 0xFFFF) | ((mid & 0xFFFF) << 16)
+    return hi, lo
+
+
+def _mulhi32(a, b):
+    return _mul32(a, b)[0]
+
+
+def _shoup2q(x, w, wsh, q):
+    return w * x - _mulhi32(x, wsh) * q
+
+
+def _norm2q(r, q):
+    return jnp.where(r >= q, r - q, r)
+
+
+def _reduce32(x, q, mu, s1):
+    qhat = _mulhi32(x >> s1, mu)
+    r = x - qhat * q
+    q2 = q + q
+    r = jnp.where(r >= q2, r - q2, r)
+    return jnp.where(r >= q, r - q, r)
+
+
+def _reduce64(hi, lo, q, mu, s1, c32, c32_sh):
+    """(hi*2^32 + lo) mod q for arbitrary u32 words."""
+    r = (_norm2q(_shoup2q(hi, c32, c32_sh, q), q)
+         + _reduce32(lo, q, mu, s1))
+    return _norm2q(r, q)
+
+
+def _addc(acc_hi, acc_lo, lo):
+    """64-bit accumulate of a u32 addend into an (hi, lo) pair."""
+    nl = acc_lo + lo
+    carry = jnp.where(nl < lo, jnp.uint32(1), jnp.uint32(0))
+    return acc_hi + carry, nl
+
+
+# ---------------------------------------------------------------------------
+# kernel factory
+# ---------------------------------------------------------------------------
+
+
+def _rns_kernel(ks: int, kd: int, mode: str, centered: bool,
+                nb: int):
+    """Kernel body. SMEM refs:
+    src_c [ks, 8]:  q, inv_punc, inv_punc_sh, fp0..fp3 (LSW first), 0
+    dst_c [kd, 8]:  d, mu, s1, c32, c32_sh, w0 (=c_mod_d | 0), w0_sh, 0
+    mat   [ks, 2*kd]: theta/omega then their shoup ratios
+    x block [1, ks, nb] u32 -> out [1, kd, nb] u32.
+    mode: 'convert' (corr = -alpha * c_mod_d) or 'scale' (corr = +r).
+    """
+
+    def kernel(src_r, dst_r, mat_r, x_r, o_r):
+        # normalize: y_i = x_i * inv_punc_i mod q_i
+        ys = []
+        for i in range(ks):
+            q = src_r[i, 0]
+            y = _norm2q(_shoup2q(x_r[0, i], src_r[i, 1], src_r[i, 2],
+                                 q), q)
+            ys.append(y)
+
+        # exact fixed-point dot: S = sum_i y_i * fp_i / 2^128.
+        # columns base 2^32; col w takes product-lo of fp word w and
+        # product-hi of word w-1; each column accumulated as a 64-bit
+        # (hi, lo) pair. Integer part lands in columns 4+.
+        ch = [jnp.zeros((nb,), U32) for _ in range(6)]
+        cl = [jnp.zeros((nb,), U32) for _ in range(6)]
+        for i in range(ks):
+            y = ys[i]
+            for w in range(4):
+                hi, lo = _mul32(y, src_r[i, 3 + w])
+                ch[w], cl[w] = _addc(ch[w], cl[w], lo)
+                ch[w + 1], cl[w + 1] = _addc(ch[w + 1], cl[w + 1], hi)
+        if centered or mode == "scale":
+            ch[3], cl[3] = _addc(ch[3], cl[3],
+                                 jnp.full((nb,), 1 << 31, U32))
+        # carry propagation: t_w = cl[w] + carry; carry = ch[w] + (ovf)
+        carry = jnp.zeros((nb,), U32)
+        t = [None] * 6
+        for w in range(6):
+            s = cl[w] + carry
+            ovf = jnp.where(s < carry, jnp.uint32(1), jnp.uint32(0))
+            t[w] = s
+            carry = ch[w] + ovf
+        # integer part: (t5, t4) = (hi, lo) words  (alpha < k fits t4;
+        # scale's r < k*2^30*t/... fits (t5, t4))
+        int_lo, int_hi = t[4], t[5]
+
+        # limb contraction per destination modulus: raw 64-bit
+        # accumulation (k * q * theta < 2^64 for k <= 16, q,theta < 2^30)
+        for j in range(kd):
+            d = dst_r[j, 0]
+            mu = dst_r[j, 1]
+            s1 = dst_r[j, 2]
+            c32 = dst_r[j, 3]
+            c32_sh = dst_r[j, 4]
+            ahi = jnp.zeros((nb,), U32)
+            alo = jnp.zeros((nb,), U32)
+            for i in range(ks):
+                hi, lo = _mul32(ys[i], mat_r[i, j])
+                ahi, alo = _addc(ahi, alo, lo)
+                ahi = ahi + hi
+            acc = _reduce64(ahi, alo, d, mu, s1, c32, c32_sh)
+            if mode == "convert":
+                # corr = alpha * (C mod d);  alpha = int_lo < k
+                chi, clo = _mul32(int_lo, dst_r[j, 5])
+                corr = _reduce64(chi, clo, d, mu, s1, c32, c32_sh)
+                r = acc + d - corr
+                r = _norm2q(r, d)
+            else:
+                # r_int = int_hi*2^32 + int_lo, reduced mod d
+                rint = _reduce64(int_hi, int_lo, d, mu, s1, c32,
+                                 c32_sh)
+                r = _norm2q(acc + rint, d)
+            o_r[0, j] = r
+
+    return kernel
+
+
+def _pack_src(base) -> np.ndarray:
+    """[ks, 8] u32: q, inv_punc, inv_punc_sh, 4 fixed-point words (LSW
+    first) — which words depends on the op; filled by callers."""
+    ks = base.k
+    out = np.zeros((ks, 8), np.uint32)
+    out[:, 0] = np.asarray(base.q_dev, np.uint64).astype(np.uint32)
+    out[:, 1] = np.asarray(base.inv_punc_dev).astype(np.uint32)
+    out[:, 2] = np.asarray(base.inv_punc_shoup_dev).astype(np.uint32)
+    return out
+
+
+def _fp_words(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """u64 (hi, lo) pairs -> [k, 4] u32 words, least significant first."""
+    k = hi.shape[0]
+    out = np.empty((k, 4), np.uint32)
+    out[:, 0] = (lo & 0xFFFFFFFF).astype(np.uint32)
+    out[:, 1] = (lo >> np.uint64(32)).astype(np.uint32)
+    out[:, 2] = (hi & 0xFFFFFFFF).astype(np.uint32)
+    out[:, 3] = (hi >> np.uint64(32)).astype(np.uint32)
+    return out
+
+
+def _pack_dst(base, w0: np.ndarray | None) -> np.ndarray:
+    """[kd, 8] u32: d, mu, s1, c32, c32_sh, w0, w0_sh, 0."""
+    kd = base.k
+    out = np.zeros((kd, 8), np.uint32)
+    for j, d in enumerate(base.moduli):
+        mu, s1 = m.barrett32_consts(d)
+        c32 = (1 << 32) % d
+        out[j, :5] = (d, mu, s1, c32, m.shoup_ratio32(c32, d))
+        if w0 is not None:
+            out[j, 5] = int(w0[j])
+            out[j, 6] = m.shoup_ratio32(int(w0[j]), d)
+    return out
+
+
+class FusedRnsOp:
+    """One fused conversion (convert or scale) between two u32 bases."""
+
+    def __init__(self, src, dst, mode: str, centered: bool,
+                 mat: np.ndarray, fp_hi, fp_lo,
+                 w0: np.ndarray | None = None):
+        assert mode in ("convert", "scale")
+        self.ks, self.kd = src.k, dst.k
+        self.mode, self.centered = mode, centered
+        self.src_c = jnp.asarray(self._with_fp(_pack_src(src),
+                                               fp_hi, fp_lo))
+        self.dst_c = jnp.asarray(_pack_dst(dst, w0))
+        # raw 64-bit limb accumulation needs no per-entry shoup ratios
+        self.mat = jnp.asarray(mat.astype(np.uint32))
+
+    @staticmethod
+    def _with_fp(src_c, fp_hi, fp_lo):
+        src_c[:, 3:7] = _fp_words(np.asarray(fp_hi, np.uint64),
+                                  np.asarray(fp_lo, np.uint64))
+        return src_c
+
+    @partial(jax.jit, static_argnames=("self",))
+    def __call__(self, x):
+        """x [..., ks, N] u32 -> [..., kd, N] u32."""
+        lead = x.shape[:-2]
+        n = x.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        xr = x.reshape(rows, self.ks, n)
+        nb = min(_NB, n)
+        assert n % nb == 0
+        interp = jax.default_backend() == "cpu"
+        kern = _rns_kernel(self.ks, self.kd, self.mode, self.centered,
+                           nb)
+
+        def imap_x(r, c):
+            return (r, jnp.int32(0), c)
+
+        def imap_const(r, c):
+            return (jnp.int32(0), jnp.int32(0))
+
+        out = pl.pallas_call(
+            kern,
+            grid=(rows, n // nb),
+            in_specs=[
+                pl.BlockSpec((self.ks, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.kd, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((self.ks, self.kd), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, self.ks, nb), imap_x,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, self.kd, nb), imap_x,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, self.kd, n), U32),
+            interpret=interp,
+        )(self.src_c, self.dst_c, self.mat, xr)
+        return out.reshape(*lead, self.kd, n)
+
+
+def fused_converter(conv) -> FusedRnsOp:
+    """Build the fused kernel for a `rns.BaseConverter` (centered)."""
+    src = conv.src
+    theta = np.asarray(conv.theta, np.uint64).astype(np.uint32)
+    c_mod_d = np.asarray(conv.c_mod_d, np.uint64)
+    return FusedRnsOp(src, conv.dst, "convert", True, theta,
+                      np.asarray(src.inv_q_fp_hi),
+                      np.asarray(src.inv_q_fp_lo), w0=c_mod_d)
+
+
+def fused_scaler(sc) -> FusedRnsOp:
+    """Build the fused kernel for a `rns.ScaleAndRound`."""
+    omega = np.asarray(sc.omega, np.uint64).astype(np.uint32)
+    return FusedRnsOp(sc.src, sc.dst, "scale", False, omega,
+                      np.asarray(sc.phi_hi), np.asarray(sc.phi_lo))

@@ -211,9 +211,30 @@ class BaseConverter:
         self.theta_sh = jnp.asarray(theta_sh)
         self.c_mod_d = jnp.asarray(c_mod_d)
 
+    def _fused(self):
+        """Fused Pallas kernel (u32 engine on TPU): one VMEM pass
+        instead of ~30 unfused XLA passes (math/prns.py; disable with
+        SUNSCREEN_TPU_FUSED_RNS=0). Only the centered variant is used
+        on hot paths."""
+        import os
+
+        import jax
+        if (self.dst.word != m.U32 or self.src.word != m.U32
+                or jax.default_backend() != "tpu"
+                or os.environ.get("SUNSCREEN_TPU_FUSED_RNS") == "0"):
+            return None
+        if not hasattr(self, "_fused_op"):
+            from sunscreen_tpu.math import prns
+            self._fused_op = prns.fused_converter(self)
+        return self._fused_op
+
     def convert(self, x, centered: bool = False):
         """x: [..., k_src, N] -> [..., k_dst, N]."""
         src, dst = self.src, self.dst
+        if centered and x.dtype == m.U32:
+            fused = self._fused()
+            if fused is not None:
+                return fused(x)
         y = src.normalize_digits(x)
         (_, alpha), _ = fixed_point_dot(
             y, src.inv_q_fp_hi, src.inv_q_fp_lo, add_half=centered)
@@ -275,9 +296,27 @@ class ScaleAndRound:
         self.phi_hi = jnp.asarray(phi_hi)
         self.phi_lo = jnp.asarray(phi_lo)
 
+    def _fused(self):
+        """Fused Pallas kernel (u32 engine on TPU, math/prns.py)."""
+        import os
+
+        import jax
+        if (self.dst.word != m.U32 or self.src.word != m.U32
+                or jax.default_backend() != "tpu"
+                or os.environ.get("SUNSCREEN_TPU_FUSED_RNS") == "0"):
+            return None
+        if not hasattr(self, "_fused_op"):
+            from sunscreen_tpu.math import prns
+            self._fused_op = prns.fused_scaler(self)
+        return self._fused_op
+
     def apply(self, x):
         """x: [..., k_src, N] -> [..., k_dst, N] = [round(t*x/Q)]_D."""
         src, dst = self.src, self.dst
+        if x.dtype == m.U32:
+            fused = self._fused()
+            if fused is not None:
+                return fused(x)
         y = src.normalize_digits(x)
         (r_hi, r_lo), _ = fixed_point_dot(
             y, self.phi_hi, self.phi_lo, add_half=True)

@@ -1,0 +1,69 @@
+"""Fused Pallas RNS kernels (math/prns.py) bit-exact vs the rns.py
+machinery (interpret mode on CPU; real-TPU compilation exercised by
+benchmarks)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sunscreen_tpu.bfv import BfvParams, get_context
+from sunscreen_tpu.math import prns
+
+PARAMS = BfvParams.insecure(poly_degree=256, limbs=3, limb_bits=28)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    c = get_context(PARAMS)
+    assert c.word == jnp.uint32, "u32 engine required"
+    return c
+
+
+def _rand(base, shape_lead, n, rng):
+    x = np.empty((*shape_lead, base.k, n), np.uint32)
+    for i, q in enumerate(base.moduli):
+        x[..., i, :] = rng.integers(0, q, (*shape_lead, n),
+                                    dtype=np.uint32)
+    return jnp.asarray(x)
+
+
+def test_fused_convert_matches_base_converter(ctx):
+    rng = np.random.default_rng(0)
+    x = _rand(ctx.q_base, (2,), ctx.n, rng)
+    want = np.asarray(ctx.conv_q_to_aux.convert(x, centered=True))
+    fused = prns.fused_converter(ctx.conv_q_to_aux)
+    got = np.asarray(fused(x))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_fused_convert_centered_boundaries(ctx):
+    """Centered conversion of exact tiny +/- values (the alpha
+    correction's sensitive region)."""
+    q_base = ctx.q_base
+    n = ctx.n
+    x = np.zeros((q_base.k, n), np.uint32)
+    # encode small centered ints -8..8 across the first columns
+    for col, v in enumerate(range(-8, 9)):
+        for i, q in enumerate(q_base.moduli):
+            x[i, col] = v % q
+    xj = jnp.asarray(x)
+    want = np.asarray(ctx.conv_q_to_aux.convert(xj, centered=True))
+    got = np.asarray(prns.fused_converter(ctx.conv_q_to_aux)(xj))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_fused_scale_matches_scale_and_round(ctx):
+    rng = np.random.default_rng(1)
+    x = _rand(ctx.mul_base, (2,), ctx.n, rng)
+    want = np.asarray(ctx.scale_mul_to_aux.apply(x))
+    fused = prns.fused_scaler(ctx.scale_mul_to_aux)
+    got = np.asarray(fused(x))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_fused_convert_aux_to_q(ctx):
+    rng = np.random.default_rng(2)
+    x = _rand(ctx.aux_base, (1,), ctx.n, rng)
+    want = np.asarray(ctx.conv_aux_to_q.convert(x, centered=True))
+    got = np.asarray(prns.fused_converter(ctx.conv_aux_to_q)(x))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
