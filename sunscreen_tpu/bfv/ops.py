@@ -315,7 +315,15 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     c1 = kb.c1_dev.reshape(kk, 1)
     # all k digits extended + transformed in ONE batched NTT:
     # digits [..., k, N] -> ext [..., k(digit), kk(limb), N]
-    ext = m.w_reduce(d[..., :, None, :], qk, c0, c1)
+    if getattr(ctx.plan_key, "mode", "") == "pallas":
+        # the fused MXU plan is exact for ANY u32 input (its byte-dot
+        # bound covers 2^32-wide values) and the NTT is linear mod each
+        # key modulus, so the raw digit broadcast IS the extension —
+        # the per-modulus Barrett pass is free to skip
+        ext = jnp.broadcast_to(d[..., :, None, :],
+                               (*d.shape[:-1], kk, d.shape[-1]))
+    else:
+        ext = m.w_reduce(d[..., :, None, :], qk, c0, c1)
     d_hat = ctx.plan_key.fwd(ext)
     # inner products with the key rows: sum over the digit axis (u64
     # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32

@@ -181,3 +181,24 @@ def test_default_u32_params_structure():
     assert total <= 218  # HE-standard 128-bit budget at N=8192
     # at least the u64 engine's noise capacity (log Q >= 162)
     assert sum(q.bit_length() for q in p.coeff_modulus) >= 160
+
+
+def test_u32_multiply_relin_pallas_mode(monkeypatch):
+    """End-to-end mul+relin through the fused MXU plan (pmntt),
+    including the keyswitch raw-digit broadcast shortcut (ops.py
+    keyswitch: the fused plan is exact for any u32 input)."""
+    monkeypatch.setenv("SUNSCREEN_TPU_NTT", "pallas")
+    params = BfvParams.insecure(poly_degree=256, limbs=2, limb_bits=28)
+    ctx = get_context.__wrapped__(params) if hasattr(
+        get_context, "__wrapped__") else get_context(params)
+    assert ctx.plan_key.mode == "pallas", type(ctx.plan_key).__name__
+    key = jax.random.key(3)
+    sk = keys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+    pk = keys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+    rlk = keys.gen_relin_key(ctx, sk, jax.random.fold_in(key, 2))
+    pt = (np.arange(256, dtype=np.uint64) * 3) % ctx.t
+    ct = ops.encrypt(ctx, pk, jnp.asarray(pt), jax.random.fold_in(key, 3))
+    out = ops.multiply_relin(ctx, ct, ct, rlk)
+    dec = np.asarray(ops.decrypt(ctx, sk, out))
+    want = naive_negacyclic(pt, pt, ctx.t, 256)
+    np.testing.assert_array_equal(dec, want)
