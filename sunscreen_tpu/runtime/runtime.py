@@ -149,11 +149,14 @@ class FheRuntime:
 
     def measure_noise_budget(self, ct: Ciphertext,
                              private_key: PrivateKey) -> float:
-        return min(
+        from sunscreen_tpu import observability as obs
+        budget = min(
             self._budget_from_words(
                 self._jitted(("decrypt", c.shape),
                              self._decrypt_and_noise)(
                     private_key.sk, c)[1]) for c in ct.cts)
+        obs.metrics.gauge_min("runtime.noise_budget_floor_bits", budget)
+        return budget
 
     # -- run -----------------------------------------------------------------
 
@@ -176,6 +179,9 @@ class FheRuntime:
             public_key: PublicKeySet) -> list[Ciphertext]:
         """Validates arg types against the signature then executes the
         jitted program (reference: `runtime.rs:310-416` + run.rs)."""
+        from sunscreen_tpu import observability as obs
+        obs.metrics.incr("runtime.programs_run")
+        obs.metrics.incr(f"runtime.run.{prog.name}")
         if len(args) != len(prog.signature.arg_types):
             raise RuntimeError_(
                 f"program {prog.name!r} expects "
