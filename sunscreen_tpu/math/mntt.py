@@ -250,6 +250,7 @@ class MatmulNttPlan:
         it). No explicit transposes: the initial reshape views x as
         [i2, i1] and step 1 contracts i2 (the MAJOR axis) directly."""
         n, n1, n2 = self.n, self.n1, self.n2
+        x = x.astype(self.word)   # byte split is word-width-dependent
         a = x.reshape(*x.shape[:-1], n2, n1)          # [i2, i1]
         q3, rh3, rl3 = self._q3()
         # Y[i1, j2] = sum_{i2} A[i2, i1] M2'[i2, j2]
@@ -266,6 +267,7 @@ class MatmulNttPlan:
     def inv(self, x):
         """NTT domain (see `fwd`) -> [..., k, N] natural coeff order."""
         n, n1, n2 = self.n, self.n1, self.n2
+        x = x.astype(self.word)   # byte split is word-width-dependent
         z = x.reshape(*x.shape[:-1], n1, n2)          # [j1, j2]
         q3, rh3, rl3 = self._q3()
         # U[i1, j2] = sum_{j1} iM1[i1, j1] Z[j1, j2]

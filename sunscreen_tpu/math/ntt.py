@@ -231,6 +231,9 @@ class NttPlan:
 
     def fwd(self, x):
         """Forward negacyclic NTT: [..., k, N] natural -> bit-reversed."""
+        # plans are word-typed; a u64 array of u32-engine residues is a
+        # representation mismatch that silently corrupts the shoup math
+        x = x.astype(self.word)
         if self.mode == "compact":
             return self.fwd_compact(x)
         n, k = self.n, len(self.moduli)
@@ -252,6 +255,7 @@ class NttPlan:
 
     def inv(self, x):
         """Inverse negacyclic NTT: bit-reversed -> natural order."""
+        x = x.astype(self.word)
         if self.mode == "compact":
             return self.inv_compact(x)
         n, k = self.n, len(self.moduli)

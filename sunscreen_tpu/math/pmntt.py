@@ -393,6 +393,7 @@ class PallasMatmulNttPlan:
         return jnp.transpose(vt.reshape(k, rows, n), (1, 0, 2))
 
     def _apply(self, x, inverse: bool):
+        x = x.astype(self.word)   # byte split is word-width-dependent
         lead = x.shape[:-2]
         rows = 1
         for d in lead:

@@ -407,6 +407,7 @@ class PallasNttPlan:
         return out.reshape(rows, k, n)
 
     def _apply(self, x, inverse: bool):
+        x = x.astype(self.word)   # plane split is word-width-dependent
         lead = x.shape[:-2]
         rows = 1
         for d in lead:
