@@ -267,6 +267,92 @@ class FusedRnsOp:
         return out.reshape(*lead, self.kd, n)
 
 
+class FusedModDown:
+    """One-pass special-prime rescale (rns.ModDown for the u32 engine):
+    xp' = xp + p/2 mod p; out_j = (x_j + (p/2 mod q_j) - xp' mod q_j)
+    * p^{-1} mod q_j."""
+
+    def __init__(self, md):
+        qb = md.q_base
+        self.k = qb.k
+        c = np.zeros((qb.k, 8), np.uint32)
+        for j, q in enumerate(qb.moduli):
+            mu, s1 = m.barrett32_consts(q)
+            c[j] = (q, mu, s1,
+                    int(np.asarray(md.half_mod_q[j])),
+                    int(np.asarray(md.inv_p[j])),
+                    int(np.asarray(md.inv_p_sh[j])), 0, 0)
+        self.consts = jnp.asarray(c)
+        p = int(md.p_dev)
+        mu_p, s1_p = m.barrett32_consts(p)
+        self.p_consts = jnp.asarray(
+            np.array([[p, mu_p, s1_p, p >> 1, 0, 0, 0, 0]], np.uint32))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def __call__(self, x_q, x_p):
+        lead = x_q.shape[:-2]
+        n = x_q.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        xq = x_q.reshape(rows, self.k, n)
+        xp = x_p.reshape(rows, 1, n)
+        nb = min(_NB, n)
+        assert n % nb == 0
+        k = self.k
+
+        def kernel(c_r, pc_r, xq_r, xp_r, o_r):
+            p = pc_r[0, 0]
+            mu_p = pc_r[0, 1]
+            s1_p = pc_r[0, 2]
+            half = pc_r[0, 3]
+            v = xp_r[0, 0] + half
+            v = jnp.where(v >= p, v - p, v)
+            for j in range(k):
+                q = c_r[j, 0]
+                mu = c_r[j, 1]
+                s1 = c_r[j, 2]
+                xpj = _reduce32(v, q, mu, s1)
+                num = xq_r[0, j] + c_r[j, 3]
+                num = jnp.where(num >= q, num - q, num)
+                num = num + q - xpj
+                num = jnp.where(num >= q, num - q, num)
+                o_r[0, j] = _norm2q(
+                    _shoup2q(num, c_r[j, 4], c_r[j, 5], q), q)
+            del mu_p, s1_p
+
+        def imap_x(r, c):
+            return (r, jnp.int32(0), c)
+
+        def imap_const(r, c):
+            return (jnp.int32(0), jnp.int32(0))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows, n // nb),
+            in_specs=[
+                pl.BlockSpec((k, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, k, nb), imap_x,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, nb), imap_x,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, k, nb), imap_x,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, k, n), U32),
+            interpret=jax.default_backend() == "cpu",
+        )(self.consts, self.p_consts, xq, xp)
+        return out.reshape(*lead, self.k, n)
+
+
+def fused_mod_down(md) -> FusedModDown:
+    """Build the fused kernel for a `rns.ModDown` (u32 engine)."""
+    return FusedModDown(md)
+
+
 def fused_converter(conv) -> FusedRnsOp:
     """Build the fused kernel for a `rns.BaseConverter` (centered)."""
     src = conv.src

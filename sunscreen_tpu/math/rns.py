@@ -419,9 +419,27 @@ class ModDown:
             np.array([half % q for q in q_base.moduli], dtype=wnp))
         self.p_dev = q_base.word(p) if p < (1 << 30) else U64(p)
 
+    def _fused(self):
+        """Fused Pallas kernel (u32 engine on TPU, math/prns.py)."""
+        import os
+
+        import jax
+        if (self.q_base.word != m.U32 or int(self.p) >= (1 << 30)
+                or jax.default_backend() != "tpu"
+                or os.environ.get("SUNSCREEN_TPU_FUSED_RNS") == "0"):
+            return None
+        if not hasattr(self, "_fused_op"):
+            from sunscreen_tpu.math import prns
+            self._fused_op = prns.fused_mod_down(self)
+        return self._fused_op
+
     def apply(self, x_q, x_p):
         """x_q: [..., k, N], x_p: [..., N] -> [..., k, N]."""
         qb = self.q_base
+        if x_q.dtype == m.U32:
+            fused = self._fused()
+            if fused is not None:
+                return fused(x_q, x_p)
         k = qb.k
         q = qb.q_dev.reshape(k, 1)
         xp = m.add_mod(x_p, self.half, self.p_dev)

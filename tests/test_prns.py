@@ -67,3 +67,13 @@ def test_fused_convert_aux_to_q(ctx):
     want = np.asarray(ctx.conv_aux_to_q.convert(x, centered=True))
     got = np.asarray(prns.fused_converter(ctx.conv_aux_to_q)(x))
     np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_fused_mod_down(ctx):
+    rng = np.random.default_rng(3)
+    p = ctx.params.special_modulus
+    x_q = _rand(ctx.q_base, (2,), ctx.n, rng)
+    x_p = jnp.asarray(rng.integers(0, p, (2, ctx.n), dtype=np.uint32))
+    want = np.asarray(ctx.mod_down.apply(x_q, x_p))
+    got = np.asarray(prns.fused_mod_down(ctx.mod_down)(x_q, x_p))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
