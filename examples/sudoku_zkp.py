@@ -43,11 +43,11 @@ def _group_constraint(cells):
 
 
 @zkp_program()
-def sudoku(*cells_and_puzzle):
-    cells = cells_and_puzzle[:SIZE * SIZE]
-    puzzle = cells_and_puzzle[SIZE * SIZE:]
-    grid = [[cells[r * SIZE + c] for c in range(SIZE)]
-            for r in range(SIZE)]
+def sudoku(cells: Private[Field, (SIZE, SIZE)],
+           puzzle: Constant[Field, (SIZE, SIZE)]):
+    grid = cells
+    cells = [c for row in cells for c in row]
+    puzzle = [p for row in puzzle for p in row]
     # rows / columns / boxes
     for r in range(SIZE):
         _group_constraint(grid[r])
@@ -60,11 +60,6 @@ def sudoku(*cells_and_puzzle):
     # consistency with the public puzzle: p * (cell - p) == 0
     for i in range(SIZE * SIZE):
         (puzzle[i] * (cells[i] - puzzle[i])).constrain_zero()
-
-
-# annotate dynamically: 16 private cells + 16 constant puzzle slots
-sudoku.arg_kinds = ["private"] * (SIZE * SIZE) + ["constant"] * (
-    SIZE * SIZE)
 
 
 def main():
