@@ -26,6 +26,26 @@ from sunscreen_tpu.errors import InvalidArgument
 from sunscreen_tpu.math import modular as m
 from sunscreen_tpu.math import rns, sampling
 
+_FUSED_CACHE: dict = {}
+
+
+def _fused_pointwise(kind: str, moduli: tuple[int, ...]):
+    """Fused u32 pointwise kernels (math/prns.py) on the TPU backend;
+    None when the XLA path should run (u64 engine, CPU eager,
+    SUNSCREEN_TPU_FUSED_RNS=0)."""
+    import os
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("SUNSCREEN_TPU_FUSED_RNS") == "0"
+            or max(q.bit_length() for q in moduli) > 30):
+        return None
+    key = (kind, moduli)
+    if key not in _FUSED_CACHE:
+        from sunscreen_tpu.math import prns
+        cls = {"tensor3": prns.FusedTensor3,
+               "ks": prns.FusedKsInner}[kind]
+        _FUSED_CACHE[key] = cls(moduli)
+    return _FUSED_CACHE[key]
+
 U64 = jnp.uint64
 
 
@@ -284,6 +304,12 @@ def multiply(ctx: BfvContext, a, b):
     b_hat = both[..., na:, :, :]
     km = ctx.mul_base.k
     qm = ctx.mul_base.q_dev.reshape(km, 1)
+    fused = (_fused_pointwise("tensor3", ctx.mul_base.moduli)
+             if na == 2 and nb == 2 and a_hat.dtype == m.U32 else None)
+    if fused is not None:
+        tensor = ctx.plan_mul.inv(fused(a_hat, b_hat))
+        scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
+        return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
     outs = []
     for j in range(na + nb - 1):
         # sum the (< nb) cross terms in plain u64 then reduce once:
@@ -329,10 +355,15 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32
     # engine: widened sums) + one reduction — residues are identical to
     # the add_mod chain (bit-exact)
-    t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
-    t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
-    acc0 = m.w_sum_reduce(t0, qk, c0, c1, axis=-3)
-    acc1 = m.w_sum_reduce(t1, qk, c0, c1, axis=-3)
+    fused = (_fused_pointwise("ks", ctx.key_base.moduli)
+             if d_hat.dtype == m.U32 else None)
+    if fused is not None:
+        acc0, acc1 = fused(d_hat, ksw.k0, ksw.k1)
+    else:
+        t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
+        t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
+        acc0 = m.w_sum_reduce(t0, qk, c0, c1, axis=-3)
+        acc1 = m.w_sum_reduce(t1, qk, c0, c1, axis=-3)
     both = ctx.plan_key.inv(jnp.stack([acc0, acc1], axis=-3))
     u0 = both[..., 0, :, :]
     u1 = both[..., 1, :, :]

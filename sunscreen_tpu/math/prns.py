@@ -267,6 +267,160 @@ class FusedRnsOp:
         return out.reshape(*lead, self.kd, n)
 
 
+def _mod_consts(moduli) -> np.ndarray:
+    out = np.zeros((len(moduli), 8), np.uint32)
+    for j, q in enumerate(moduli):
+        mu, s1 = m.barrett32_consts(q)
+        c32 = (1 << 32) % q
+        out[j, :5] = (q, mu, s1, c32, m.shoup_ratio32(c32, q))
+    return out
+
+
+class FusedTensor3:
+    """BFV tensor convolution of two 2-component NTT-domain operands in
+    one pass: out = (a0*b0, a0*b1 + a1*b0, a1*b1) mod q per limb
+    (the component loop in `bfv.ops.multiply`)."""
+
+    def __init__(self, moduli):
+        self.k = len(moduli)
+        self.consts = jnp.asarray(_mod_consts(moduli))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def __call__(self, a, b):
+        """a, b: [..., 2, k, N] u32 -> [..., 3, k, N]."""
+        lead = a.shape[:-3]
+        n = a.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        k = self.k
+        ar = a.reshape(rows, 2, k, n)
+        br = b.reshape(rows, 2, k, n)
+        nb = min(_NB, n)
+        assert n % nb == 0
+
+        def kernel(c_r, a_r, b_r, o_r):
+            for j in range(k):
+                q = c_r[j, 0]
+                cs = tuple(c_r[j, i] for i in range(1, 5))
+                a0, a1 = a_r[0, 0, j], a_r[0, 1, j]
+                b0, b1 = b_r[0, 0, j], b_r[0, 1, j]
+
+                def red(hi, lo, q=q, cs=cs):
+                    return _reduce64(hi, lo, q, *cs)
+
+                h0, l0 = _mul32(a0, b0)
+                o_r[0, 0, j] = red(h0, l0)
+                h1, l1 = _mul32(a0, b1)
+                h2, l2 = _mul32(a1, b0)
+                hs, ls = _addc(h1 + h2, l1, l2)
+                o_r[0, 1, j] = red(hs, ls)
+                h3, l3 = _mul32(a1, b1)
+                o_r[0, 2, j] = red(h3, l3)
+
+        def imap(r, c):
+            return (r, jnp.int32(0), jnp.int32(0), c)
+
+        def imap_const(r, c):
+            return (jnp.int32(0), jnp.int32(0))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows, n // nb),
+            in_specs=[
+                pl.BlockSpec((k, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2, k, nb), imap,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, k, nb), imap,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 3, k, nb), imap,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 3, k, n), U32),
+            interpret=jax.default_backend() == "cpu",
+        )(self.consts, ar, br)
+        return out.reshape(*lead, 3, k, n)
+
+
+class FusedKsInner:
+    """Keyswitch inner products in one pass: for both key components,
+    acc_j = (sum_i d_hat[i, j] * key[i, j]) mod q_j — the digit-axis
+    contraction of `bfv.ops.keyswitch` (raw 64-bit accumulation:
+    k * q^2 < 2^64 for k <= 16, q < 2^30)."""
+
+    def __init__(self, moduli):
+        self.kk = len(moduli)
+        self.consts = jnp.asarray(_mod_consts(moduli))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def __call__(self, d_hat, k0, k1):
+        """d_hat: [..., k, kk, N]; k0/k1: [k, kk, N] ->
+        (acc0, acc1) [..., kk, N]."""
+        lead = d_hat.shape[:-3]
+        kdig = d_hat.shape[-3]
+        n = d_hat.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        kk = self.kk
+        dr = d_hat.reshape(rows, kdig, kk, n)
+        nb = min(_NB, n)
+        assert n % nb == 0
+
+        def kernel(c_r, d_r, k0_r, k1_r, o0_r, o1_r):
+            for j in range(kk):
+                q = c_r[j, 0]
+                cs = tuple(c_r[j, i] for i in range(1, 5))
+                for kr, orf in ((k0_r, o0_r), (k1_r, o1_r)):
+                    ahi = jnp.zeros((nb,), U32)
+                    alo = jnp.zeros((nb,), U32)
+                    for i in range(kdig):
+                        hi, lo = _mul32(d_r[0, i, j], kr[i, j])
+                        ahi, alo = _addc(ahi, alo, lo)
+                        ahi = ahi + hi
+                    orf[0, j] = _reduce64(ahi, alo, q, *cs)
+
+        def imap_d(r, c):
+            return (r, jnp.int32(0), jnp.int32(0), c)
+
+        def imap_key(r, c):
+            return (jnp.int32(0), jnp.int32(0), c)
+
+        def imap_o(r, c):
+            return (r, jnp.int32(0), c)
+
+        def imap_const(r, c):
+            return (jnp.int32(0), jnp.int32(0))
+
+        o0, o1 = pl.pallas_call(
+            kernel,
+            grid=(rows, n // nb),
+            in_specs=[
+                pl.BlockSpec((kk, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, kdig, kk, nb), imap_d,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kdig, kk, nb), imap_key,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kdig, kk, nb), imap_key,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, kk, nb), imap_o,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kk, nb), imap_o,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, kk, n), U32),
+                jax.ShapeDtypeStruct((rows, kk, n), U32),
+            ],
+            interpret=jax.default_backend() == "cpu",
+        )(self.consts, dr, k0, k1)
+        return (o0.reshape(*lead, kk, n), o1.reshape(*lead, kk, n))
+
+
 class FusedModDown:
     """One-pass special-prime rescale (rns.ModDown for the u32 engine):
     xp' = xp + p/2 mod p; out_j = (x_j + (p/2 mod q_j) - xp' mod q_j)
@@ -275,13 +429,17 @@ class FusedModDown:
     def __init__(self, md):
         qb = md.q_base
         self.k = qb.k
+        # convert WHOLE arrays to numpy before indexing: a jnp getitem
+        # executed while an outer jit is tracing lifts the constant
+        # into the trace (CLAUDE.md round-2 gotcha)
+        half_mod_q = np.asarray(md.half_mod_q)
+        inv_p = np.asarray(md.inv_p)
+        inv_p_sh = np.asarray(md.inv_p_sh)
         c = np.zeros((qb.k, 8), np.uint32)
         for j, q in enumerate(qb.moduli):
             mu, s1 = m.barrett32_consts(q)
-            c[j] = (q, mu, s1,
-                    int(np.asarray(md.half_mod_q[j])),
-                    int(np.asarray(md.inv_p[j])),
-                    int(np.asarray(md.inv_p_sh[j])), 0, 0)
+            c[j] = (q, mu, s1, int(half_mod_q[j]), int(inv_p[j]),
+                    int(inv_p_sh[j]), 0, 0)
         self.consts = jnp.asarray(c)
         p = int(md.p_dev)
         mu_p, s1_p = m.barrett32_consts(p)

@@ -77,3 +77,53 @@ def test_fused_mod_down(ctx):
     want = np.asarray(ctx.mod_down.apply(x_q, x_p))
     got = np.asarray(prns.fused_mod_down(ctx.mod_down)(x_q, x_p))
     np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_fused_tensor3(ctx):
+    rng = np.random.default_rng(4)
+    x = _rand(ctx.mul_base, (2, 2), ctx.n, rng)
+    a, b = x[0][None], x[1][None]
+    km = ctx.mul_base.k
+    qm = ctx.mul_base.q_dev.reshape(km, 1)
+    c0 = ctx.mul_base.c0_dev.reshape(km, 1)
+    c1 = ctx.mul_base.c1_dev.reshape(km, 1)
+    from sunscreen_tpu.math import modular as m
+    want = []
+    for j in range(3):
+        acc = None
+        for ia in range(2):
+            ib = j - ia
+            if 0 <= ib < 2:
+                t = m.w_mul_mod(a[:, ia], b[:, ib], qm, c0, c1)
+                acc = t if acc is None else m.add_mod(acc, t, qm)
+        want.append(np.asarray(acc))
+    want = np.stack(want, axis=1)
+    got = np.asarray(prns.FusedTensor3(ctx.mul_base.moduli)(a, b))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_fused_ks_inner(ctx):
+    rng = np.random.default_rng(5)
+    kk = ctx.k + 1
+    kdig = ctx.k
+    n = ctx.n
+    mods = ctx.key_base.moduli
+    d_hat = np.empty((1, kdig, kk, n), np.uint32)
+    k0 = np.empty((kdig, kk, n), np.uint32)
+    k1 = np.empty((kdig, kk, n), np.uint32)
+    for j, q in enumerate(mods):
+        d_hat[:, :, j] = rng.integers(0, q, (1, kdig, n),
+                                      dtype=np.uint32)
+        k0[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+        k1[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+    got0, got1 = prns.FusedKsInner(mods)(
+        jnp.asarray(d_hat), jnp.asarray(k0), jnp.asarray(k1))
+    # python-int oracle
+    for j, q in enumerate(mods):
+        for col in (0, 1, n - 1):
+            w0 = sum(int(d_hat[0, i, j, col]) * int(k0[i, j, col])
+                     for i in range(kdig)) % q
+            w1 = sum(int(d_hat[0, i, j, col]) * int(k1[i, j, col])
+                     for i in range(kdig)) % q
+            assert int(np.asarray(got0)[0, j, col]) == w0
+            assert int(np.asarray(got1)[0, j, col]) == w1
