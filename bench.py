@@ -15,27 +15,37 @@ import json
 import os
 import time
 
-# NTT lowering for the bench: unrolled stages measured fastest
-# end-to-end on the v5e (vs matmul-NTT mode, which compiles ~6x faster
-# and is the default for cold-compile-bound example runs). Respect an
-# explicit caller override.
-os.environ.setdefault("SUNSCREEN_TPU_NTT", "unrolled")
+# Round-3 configuration: the u32 engine through the fused MXU/Pallas
+# pipeline (NTT mode "pallas" = math/pmntt.py stage kernels; RNS glue
+# and pointwise contractions fused via math/prns.py). Measured fastest
+# end-to-end on the v5e (benchmarks/PERF_NOTES.md round-3 tables); the
+# u64 path remains via SUNSCREEN_TPU_BENCH_WORD=u64.
+os.environ.setdefault("SUNSCREEN_TPU_NTT", "pallas")
 
 import jax
 import jax.numpy as jnp
 
 BASELINE_OPS_PER_S = 250.0
 N = 8192
-LIMBS = 3
-BATCH = 128  # throughput scales with batch: 32 -> ~1.1k, 128 -> ~1.3k op/s
+LIMBS = 3          # the metric's u64-equivalent parameter point
+BATCH = int(os.environ.get("SUNSCREEN_TPU_BENCH_BATCH", "64"))
+WORD = os.environ.get("SUNSCREEN_TPU_BENCH_WORD", "u32")
 
 
 def main():
     from sunscreen_tpu.bfv import BfvParams, get_context, keys, ops
     from sunscreen_tpu.bfv.keys import KswKey
 
-    params = BfvParams.default(N)
-    assert len(params.coeff_modulus) == LIMBS, params.coeff_modulus
+    if WORD == "u32":
+        # same 128-bit-secure parameter point as the u64 3x54-bit
+        # config (log Q+P = 218): 7 sub-30-bit limbs + a 30-bit
+        # special prime — the metric stays the SEAL-class
+        # "N=8192, 218-bit modulus chain" mul+relin
+        params = BfvParams.default_u32(N)
+    else:
+        os.environ["SUNSCREEN_TPU_NTT"] = "unrolled"
+        params = BfvParams.default(N)
+        assert len(params.coeff_modulus) == LIMBS, params.coeff_modulus
     ctx = get_context(params)
     key = jax.random.key(0)
 
@@ -60,8 +70,8 @@ def main():
 
     out = jax.block_until_ready(step(cts, cts, rlk.k0, rlk.k1))  # compile
 
-    # timed
-    iters = 5
+    # timed (enough iterations that tunnel jitter averages out)
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(out, cts, rlk.k0, rlk.k1)

@@ -71,7 +71,7 @@ def main():
     print(f"verify: {t_verify:.1f}s ok={ok}", flush=True)
     assert ok
 
-    size = len(proof.serialize()) if hasattr(proof, "serialize") else None
+    size = len(proof.to_bytes())
     print(json.dumps({
         "metric": f"sdlp_pke_n{N}_k{LIMBS}",
         "l_bits": vk.l,
