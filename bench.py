@@ -64,6 +64,26 @@ def main():
 
     sk, rlk, cts = jax.block_until_ready(setup(key))
 
+    # correctness gate BEFORE timing: one mul of known plaintexts must
+    # decrypt to the exact product (catches silently-wrong device
+    # lowering — e.g. the round-3 Mosaic signed-i8-dot hazard, which a
+    # decrypt-doesn't-crash check missed entirely)
+    import numpy as np
+    t = int(ctx.t)
+    pa = np.arange(ctx.n, dtype=np.uint64) % np.uint64(t)
+    one_mul = jax.jit(lambda a, b, k0, k1, sk_: ops.decrypt(
+        ctx, sk_, ops.multiply_relin(ctx, a, b, KswKey(k0, k1))))
+    got = np.asarray(one_mul(cts[0], cts[0], rlk.k0, rlk.k1, sk))
+    # independent numpy oracle: negacyclic convolution mod t (t is a
+    # 20-bit prime, so int64 products are exact: N * t^2 < 2^63)
+    conv = np.convolve(pa.astype(np.int64), pa.astype(np.int64))
+    res = conv[:N].copy()
+    res[:N - 1] -= conv[N:]
+    want = np.mod(res, t).astype(np.uint64)
+    if not np.array_equal(got.astype(np.uint64), want):
+        raise SystemExit("bench correctness gate FAILED: device "
+                         "multiply_relin decrypts wrong")
+
     @jax.jit
     def step(a, b, k0, k1):
         return ops.multiply_relin(ctx, a, b, KswKey(k0, k1))

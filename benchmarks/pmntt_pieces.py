@@ -1,6 +1,7 @@
-"""Per-piece TPU timings of the hybrid pmntt NTT (einsums, recombine
-kernel, layout transposes) — small compile units so regressions are
-attributable. Usage: python benchmarks/pmntt_pieces.py [rows]
+"""Per-piece TPU timings of the fused pmntt NTT (v3 absorbed-weight
+stages): the full transforms, each stage kernel alone, the inter-stage
+transposes, and a dot-only kernel variant so MXU vs VPU attribution is
+direct. Usage: python benchmarks/pmntt_pieces.py [rows]
 """
 import os
 import sys
@@ -13,6 +14,8 @@ rows = int(sys.argv[1]) if len(sys.argv) > 1 else 96
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from sunscreen_tpu.math import pmntt, primes
 
@@ -21,7 +24,6 @@ K = 7
 mods = tuple(int(q) for q in primes.gen_ntt_primes(27, K, N))
 plan = pmntt.PallasMatmulNttPlan(N, mods)
 n1, n2 = plan.n1, plan.n2
-NC = pmntt.NC
 rng = np.random.default_rng(0)
 
 
@@ -42,42 +44,69 @@ def bench(label, fn, *args, iters=20):
 
 x = jnp.asarray(rng.integers(0, min(mods), (rows, K, N)), jnp.uint32)
 
-# 1. entry transpose [r,k,(i2,i1)] -> [k,r,i1,i2]
-bench("entry transpose", lambda v: jnp.transpose(
-    v.reshape(rows, K, n2, n1), (1, 0, 3, 2)), x)
+# full transforms
+bench("fwd", plan.fwd, x)
+bench("inv", plan.inv, x)
+bench("fwd+inv", lambda v: plan.inv(plan.fwd(v)), x)
 
-# 2. einsum 1 (k-major, adjacent contract+byte)
-a = jnp.asarray(rng.integers(0, min(mods), (K, rows, n1, n2)),
-                jnp.uint32)
-a8 = jax.lax.bitcast_convert_type(a, jnp.uint8)
-bench("einsum1 (contract i2)", lambda v: jnp.einsum(
-    "krijl,kjlp->krpi", v, plan.m2_big,
-    preferred_element_type=jnp.int32), a8)
-
-# 3. recombine kernel with twiddle
-p1 = jnp.asarray(rng.integers(0, 1 << 24, (K * rows, NC, N)),
-                 jnp.int32)
+# stage kernels alone (input pre-laid-out, so only kernel time)
+kr = K * rows
 bb = plan._bb(rows)
-print(f"bb={bb}", flush=True)
-f1 = pmntt._make_recombine(N, K, rows, bb, twiddle=True,
-                           interpret=False)
-bench("recombine+twiddle", lambda v: f1(
-    plan.consts, v, plan.tw_f, plan.tw_f_sh), p1)
+xb = jnp.asarray(rng.integers(-128, 128, (kr, n1, 512)), jnp.int8)
+consts = jnp.asarray(plan.consts)
+s1_m, s1_b = map(jnp.asarray, plan.s1_m)
+s2_m, s2_b = map(jnp.asarray, plan.s2_m)
+twf = tuple(map(jnp.asarray, plan.tw_f))
 
-# 4. einsum 2
-y = jnp.asarray(rng.integers(0, min(mods), (K, rows, n2, n1)),
-                jnp.uint32)
-y8 = jax.lax.bitcast_convert_type(y, jnp.uint8)
-bench("einsum2 (contract i1)", lambda v: jnp.einsum(
-    "krjil,kilp->krpj", v, plan.m1_big,
-    preferred_element_type=jnp.int32), y8)
+f1 = pmntt._make_stage(N, K, rows, bb, n1, twiddle=True, interpret=False)
+f2 = pmntt._make_stage(N, K, rows, bb, n1, twiddle=False, interpret=False)
+bench("stage kernel (twiddle)",
+      lambda v: f1(consts, v, s1_m, s1_b, *twf), xb)
+bench("stage kernel (plain)", lambda v: f2(consts, v, s2_m, s2_b), xb)
 
-# 5. recombine without twiddle
-f2 = pmntt._make_recombine(N, K, rows, bb, twiddle=False,
-                           interpret=False)
-bench("recombine", lambda v: f2(plan.consts, v), p1)
 
-# 6. full fwd / inv
-bench("full fwd", plan.fwd, x)
-yy = jax.block_until_ready(jax.jit(plan.fwd)(x))
-bench("full inv", plan.inv, yy)
+# dot-only kernel: same dot, write one partial plane back (no recombine)
+def _dot_only(n, k, rows, bb, n1):
+    rpb = rows // bb
+
+    def kernel(x_r, m_r, o_r):
+        a = x_r[:].reshape(bb * n1, 512)
+        p = jnp.dot(a, m_r[0], preferred_element_type=jnp.int32)
+        o_r[:] = p[:, :128].reshape(bb, n1, 128).astype(jnp.uint32)
+
+    def imap_x(i, j):
+        return (i * rpb + j, jnp.int32(0), jnp.int32(0))
+
+    def imap_limb(i, j):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(k, rpb),
+        in_specs=[
+            pl.BlockSpec((bb, n1, 512), imap_x, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 512, 4 * 128), imap_limb,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, n1, 128), imap_x,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k * rows, n1, 128), jnp.uint32),
+    )
+
+
+fd = _dot_only(N, K, rows, bb, n1)
+bench("dot-only kernel", lambda v: fd(v, s1_m), xb)
+
+# inter-stage glue: transpose + bitcast only
+y = jnp.asarray(rng.integers(0, min(mods), (kr, n1, n2)), jnp.uint32)
+bench("transpose+bitcast (stage1->2)",
+      lambda v: jax.lax.bitcast_convert_type(
+          jnp.transpose(v, (0, 2, 1)).reshape(kr, n1, plan.dup * n1),
+          jnp.uint8).reshape(kr, n1, 512), y)
+bench("entry transpose+bitcast",
+      lambda v: jax.lax.bitcast_convert_type(
+          jnp.transpose(v.reshape(rows, K, n2, n1), (1, 0, 3, 2)),
+          jnp.uint8).reshape(kr, n1, 512), x)
+bench("exit transpose",
+      lambda v: jnp.transpose(v.reshape(K, rows, N), (1, 0, 2)),
+      y.reshape(K, rows, N))

@@ -6,24 +6,64 @@ v5e:
 - XLA-level int8 einsums for the four-step DFT ran at only ~10 TMAC/s
   with 150-450 s compiles, while the IDENTICAL dot issued from inside a
   Pallas kernel runs at ~400 TMAC/s (u8) with sub-second compiles;
-- the i32-diagonal recombination costs ~6-10 VPU ops per element, so it
-  must happen while the partials are still in VMEM — the staged form
-  (einsum -> HBM -> kernel) paid an extra 154 MB round trip per stage
-  and sublane-strided plane reads.
+- the i32-diagonal recombination dominates each stage (the VPU has no
+  native 32-bit multiply), so its op count per element is the knob that
+  sets NTT throughput.
 
-So each four-step stage is ONE Pallas kernel: the u8 byte-convolution
-dot on the MXU feeds i32 diagonal partials that are recombined
-(3-word accumulate + Shoup/Barrett mod-q + optional mid twiddle) in
-the same VMEM residency. Reference replacement: SEAL's Harvey NTT
-core (`seal_fhe/SEAL` engine consumed by every Evaluator op —
-SURVEY.md §2.4).
+So each four-step stage is ONE Pallas kernel: a u8 dot on the MXU
+feeds i32 partials that are recombined and reduced in the same VMEM
+residency. Reference replacement: SEAL's Harvey NTT core
+(`seal_fhe/SEAL` engine consumed by every Evaluator op — SURVEY.md
+§2.4).
+
+v3 (round-3, second pass): ABSORBED BYTE WEIGHTS, i8-NATIVE. v2
+byte-split both operands, giving NC = 2*NL-1 = 7 convolution diagonals
+and a 3-word (h, m, l) accumulator (~90 VPU ops/element to recombine).
+v3 instead precomputes, for every input byte plane a, the matrix
+(2^{8a} * M) mod q and digit-splits THAT: the dot's output diagonals
+are just the 4 digit planes of a value < q, so
+
+    y = sum_b T_b 2^(8b)  <  2^50
+
+assembles into a 2-word (l, m < 2^18) pair with three shifted adds.
+The mid twiddle is applied directly to the UNREDUCED pair via two
+Shoup multiplies by the precomputed constants t and (t*2^32 mod q) —
+no standalone reduction step at all on twiddled stages:
+
+    t*y mod q = (t*l mod q) + (t*2^32 mod q)*m mod q
+
+Untwiddled stages fold m with one Shoup by (2^32 mod q) plus a single
+Barrett on l. ~60 VPU ops/element/stage vs ~110 in v2, and the dot
+shrinks (512x512 operand vs 512x896).
+
+SIGNED-DOT HAZARD (measured on the real chip, round 3): this Mosaic
+toolchain lowers jnp.dot(u8, u8, preferred_element_type=i32) inside a
+Pallas kernel as a SIGNED i8 x i8 MXU product — u8 operands are
+silently reinterpreted (the XLA-level einsum is correct; the bug is
+Pallas-only, and it made the v2 kernels wrong on hardware while the
+CPU interpret tests passed). v3 is therefore i8-native by design:
+
+- matrix entries are BALANCED signed digits d_b in [-128, 127] with
+  sum_b d_b 2^(8b) = (2^(8a) M) mod q;
+- input bytes are XOR'd with 0x80 (exactly X - 128 reinterpreted as
+  i8), done on the u32 words before the bitcast;
+- the hardware partial P_b = sum_j (X_j - 128) d_bj is corrected with
+  a per-column bias 128*colsum(d_b) + 2^24, making
+  U_b = sum_j X_j d_bj + 2^24 nonnegative (< 2^25);
+- the constant K = 2^24 * 0x01010101 is subtracted during the modular
+  reduction: twiddled stages add a third table (-t*K mod q), plain
+  stages a per-limb constant (-K mod q).
+
+Every |P_b| <= 512*128*128 = 2^23 fits i32; validated against
+python-int oracles in tests/test_pmntt.py AND against the interpret
+oracle on the real chip (tools/tpu_selfcheck.py).
 
 Layout (N = n1 * 128, dup = 128/n1 so every stage is uniform):
 
-  stage matrices are [k, 512, NC*128] u8: 512 contraction bytes
-  (contracted dim x 4 word bytes, pairs of `dup` adjacent rows
-  block-diagonally when the contracted dim is n1 < 128), NC*128 output
-  lanes (c-major diagonal slices, each a 128-lane tile). Kernel blocks:
+  stage matrices are [k, 512, 4*128] u8: 512 contraction bytes
+  (contracted dim x 4 input-word bytes, pairs of `dup` adjacent rows
+  block-diagonally when the contracted dim is n1 < 128), 4*128 output
+  lanes (output-byte-major, each a 128-lane tile). Kernel blocks:
   x [bb, n1, 512] u8, out [bb, n1, 128] u32.
 
   fwd:  x[i1 + n1*i2]: transpose -> rows (r, i1), vectors (i2, byte)
@@ -34,11 +74,6 @@ Layout (N = n1 * 128, dup = 128/n1 so every stage is uniform):
         stage A (contract j1) -> flat (j2, i1), inverse twiddle fused
         transpose; stage B (contract j2, psi^-1/N folded) ->
         flat (i1, i2) -> one last transpose to natural order.
-
-All arithmetic exact: u8 byte-limb dots -> i32 diagonals
-(512 * 255^2 < 2^25), recombined as a 3-word (h, m, l) u32 accumulator
-(y < 2^74), reduced with Shoup multiplies by 2^64/2^32 mod q plus one
-Barrett — validated against python-int oracles in tests/test_pmntt.py.
 """
 
 from __future__ import annotations
@@ -54,14 +89,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sunscreen_tpu.math import modular as m
 from sunscreen_tpu.math import primes
-from sunscreen_tpu.math.mntt import _u8_limbs_host, _vandermonde
+from sunscreen_tpu.math.mntt import _vandermonde
 
 U32 = jnp.uint32
 I32 = jnp.int32
 LANES = 128
-WB = 4          # u32 word bytes
-NL = 4          # u8 limbs per word (moduli < 2^30 -> 4 bytes)
-NC = 2 * NL - 1 # byte-convolution diagonals
+WB = 4          # u32 word bytes (input planes)
+NP = 4          # output byte planes (matrix entries < q < 2^30)
 
 
 # ---------------------------------------------------------------------------
@@ -101,80 +135,71 @@ def _norm2q(r, q):
     return jnp.where(r >= q, r - q, r)
 
 
-def _recombine_body(read_c, q, mu, s1, c32, c32_sh, c64, c64_sh):
-    """read_c(c) -> i32 diagonal partial c (any uniform shape). Planes
-    read lazily so the live set stays small. Returns
-    (sum_c P_c 2^(8c)) mod q as u32."""
-    # (h, m, l) 3-word accumulator of y = sum P_c << 8c  (y < 2^74)
-    l = read_c(0).astype(U32)
-    mid = jnp.zeros_like(l)
-    h = jnp.zeros_like(l)
-    for c in range(1, NC):
-        p = read_c(c).astype(U32)
-        sh = 8 * c
-        if sh < 32:
-            a_l = p << jnp.uint32(sh)
-            a_m = p >> jnp.uint32(32 - sh)
-            nl_ = l + a_l
-            cy = jnp.where(nl_ < l, jnp.uint32(1), jnp.uint32(0))
-            l = nl_
-            nm = mid + a_m + cy
-            cy2 = jnp.where(nm < mid, jnp.uint32(1), jnp.uint32(0))
-            mid = nm
-            h = h + cy2
-        else:
-            a_m = p << jnp.uint32(sh - 32)
-            a_h = p >> jnp.uint32(64 - sh)
-            nm = mid + a_m
-            cy2 = jnp.where(nm < mid, jnp.uint32(1), jnp.uint32(0))
-            mid = nm
-            h = h + cy2 + a_h
-    # y mod q = (h*2^64 + mid*2^32 + l) mod q via two Shoup multiplies
-    # by the constants (2^64 mod q), (2^32 mod q) plus one Barrett.
-    r = (_norm2q(_shoup2q(h, c64, c64_sh, q), q)
-         + _norm2q(_shoup2q(mid, c32, c32_sh, q), q)
-         + _reduce32(l, q, mu, s1))
-    q2 = q + q
-    r = jnp.where(r >= q2, r - q2, r)
-    return jnp.where(r >= q, r - q, r)
+def _assemble_lm(p):
+    """u32 digit-plane partials U_b = p[b] (b = 0..3, each < 2^25) ->
+    (l, m) u32 words of y = sum_b U_b 2^(8b) < 2^50 (m < 2^18)."""
+    u0, u1, u2, u3 = p
+    a1 = u1 << jnp.uint32(8)
+    a2 = u2 << jnp.uint32(16)
+    a3 = u3 << jnp.uint32(24)
+    l = u0 + a1
+    c1 = jnp.where(l < a1, jnp.uint32(1), jnp.uint32(0))
+    l = l + a2
+    c2 = jnp.where(l < a2, jnp.uint32(1), jnp.uint32(0))
+    l = l + a3
+    c3 = jnp.where(l < a3, jnp.uint32(1), jnp.uint32(0))
+    mw = (u1 >> jnp.uint32(24)) + (u2 >> jnp.uint32(16)) \
+        + (u3 >> jnp.uint32(8)) + c1 + c2 + c3
+    return l, mw
 
 
 # ---------------------------------------------------------------------------
-# fused stage kernel: MXU byte-convolution dot + recombine (+ twiddle)
+# fused stage kernel: MXU byte dot + (l, m) assemble + twiddle-or-reduce
 # ---------------------------------------------------------------------------
 
 
 def _make_stage(n: int, k: int, rows: int, bb: int, n1: int,
                 twiddle: bool, interpret: bool):
     """pallas_call for one four-step stage. Inputs: consts [k, 8] SMEM;
-    x [k*rows, n1, 512] u8; mat [k, 512, NC*128] u8; optional twiddle
-    pair [k, n1, 128] u32. Output [k*rows, n1, 128] u32. Grid
+    x [k*rows, n1, 512] u8 (bytes already XOR 0x80); mat
+    [k, 512, NP*128] i8 balanced digits; bias [k, 1, NP*128] i32;
+    optional twiddle quint [k, n1, 128] u32 (t, t_sh, t32, t32_sh,
+    tK = -t*K mod q). Output [k*rows, n1, 128] u32. Grid
     (limb, row-block); bb | rows."""
     rpb = rows // bb
 
     def kernel(*refs):
         if twiddle:
-            consts_r, x_r, m_r, tw_r, twsh_r, o_r = refs
+            (consts_r, x_r, m_r, b_r, tw_r, twsh_r, tw32_r, tw32sh_r,
+             tk_r, o_r) = refs
         else:
-            consts_r, x_r, m_r, o_r = refs
-            tw_r = twsh_r = None
+            consts_r, x_r, m_r, b_r, o_r = refs
         li = pl.program_id(0)
         q = consts_r[li, 0]
-        mu = consts_r[li, 1]
-        s1 = consts_r[li, 2]
-        c32 = consts_r[li, 3]
-        c32_sh = consts_r[li, 4]
-        c64 = consts_r[li, 5]
-        c64_sh = consts_r[li, 6]
         a = x_r[:].reshape(bb * n1, 512)
         p = jnp.dot(a, m_r[0], preferred_element_type=I32)
-        r = _recombine_body(
-            lambda c: p[:, c * LANES:(c + 1) * LANES],
-            q, mu, s1, c32, c32_sh, c64, c64_sh)
-        r = r.reshape(bb, n1, LANES)
+        # U_b = P_b + 128*colsum(d_b) + 2^24 >= 0 (bias table)
+        p = (p + b_r[0]).astype(U32)
+        l, mw = _assemble_lm(
+            [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+        l = l.reshape(bb, n1, LANES)
+        mw = mw.reshape(bb, n1, LANES)
         if twiddle:
-            r = _norm2q(_shoup2q(r, tw_r[0], twsh_r[0], q), q)
-        o_r[:] = r
+            # t*(y - K) mod q with y = l + m*2^32 unreduced: two
+            # Shoups plus the precomputed -t*K term.
+            r = (_norm2q(_shoup2q(l, tw_r[0], twsh_r[0], q), q)
+                 + _norm2q(_shoup2q(mw, tw32_r[0], tw32sh_r[0], q), q)
+                 + tk_r[0])
+        else:
+            mu = consts_r[li, 1]
+            s1 = consts_r[li, 2]
+            c32 = consts_r[li, 3]
+            c32_sh = consts_r[li, 4]
+            r = (_norm2q(_shoup2q(mw, c32, c32_sh, q), q)
+                 + _reduce32(l, q, mu, s1) + consts_r[li, 5])
+        q2 = q + q
+        r = jnp.where(r >= q2, r - q2, r)
+        o_r[:] = _norm2q(r, q)
 
     def imap_x(i, j):
         return (i * rpb + j, jnp.int32(0), jnp.int32(0))
@@ -188,11 +213,13 @@ def _make_stage(n: int, k: int, rows: int, bb: int, n1: int,
     in_specs = [pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
                 pl.BlockSpec((bb, n1, 512), imap_x,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 512, NC * LANES), imap_limb,
+                pl.BlockSpec((1, 512, NP * LANES), imap_limb,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, NP * LANES), imap_limb,
                              memory_space=pltpu.VMEM)]
     if twiddle:
         in_specs += [pl.BlockSpec((1, n1, LANES), imap_limb,
-                                  memory_space=pltpu.VMEM)] * 2
+                                  memory_space=pltpu.VMEM)] * 5
     return pl.pallas_call(
         kernel,
         grid=(k, rpb),
@@ -214,20 +241,59 @@ def _interpret() -> bool:
     return _INTERPRET
 
 
-def _pair_matrix(msmall: np.ndarray, n1: int, dup: int) -> np.ndarray:
-    """[k, n1, n1] u64 DFT matrix -> block-diagonal paired byte operand
-    [k, dup*n1*WB, NC*dup*n1]: rows (d, i, byte), cols (c, d, j); entry
-    byte_{c-b}(M[i, j]) when the d's match, 0 otherwise."""
+_KBIAS = 1 << 24   # per-plane nonnegativity shift
+_K = sum(_KBIAS << (8 * b) for b in range(NP))  # total assembled shift
+
+
+def _balanced_digits(v: np.ndarray) -> list[np.ndarray]:
+    """u64 values < 2^31 -> NP int8 planes d_b in [-128, 127] with
+    sum_b d_b 2^(8b) = v."""
+    cur = v.astype(np.int64)
+    out = []
+    for _ in range(NP):
+        d = ((cur + 128) % 256) - 128
+        out.append(d.astype(np.int8))
+        cur = (cur - d) >> 8
+    assert np.all(cur == 0)
+    return out
+
+
+def _absorbed_digits(msrc: np.ndarray, moduli) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """[k, n_in, n_out] u64 (entries < q) -> (mat, bias): mat
+    [k, n_in*WB, NP*n_out] int8 with row (i, a), col (b, j), entry
+    digit_b((2^(8a) * M[i, j]) mod q); bias [k, 1, NP*n_out] i32 =
+    128*colsum(mat) + 2^24 (the signed-dot zero-point correction)."""
+    k, n_in, n_out = msrc.shape
+    out = np.empty((k, n_in, WB, NP, n_out), np.int8)
+    for j, q in enumerate(moduli):
+        for a in range(WB):
+            ma = (msrc[j] * ((1 << (8 * a)) % q)) % q  # < 2^30, u64 safe
+            digs = _balanced_digits(ma)
+            for b in range(NP):
+                out[j, :, a, b, :] = digs[b]
+    mat = out.reshape(k, n_in * WB, NP * n_out)
+    bias = (128 * mat.astype(np.int64).sum(axis=1, keepdims=True)
+            + _KBIAS).astype(np.int32)
+    return mat, bias
+
+
+def _pair_matrix(msmall: np.ndarray, n1: int, dup: int, moduli) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """[k, n1, n1] u64 DFT matrix -> block-diagonal paired absorbed
+    operand [k, dup*n1*WB, NP*dup*n1] int8 (+ bias): rows (d, i, a),
+    cols (c, d, j); entry digit_c((2^(8a) M[i, j]) mod q) when the d's
+    match, 0 otherwise."""
     k = msmall.shape[0]
-    limbs = _u8_limbs_host(msmall, NL)          # [NL, k, n1, n1]
-    out = np.zeros((k, dup, n1, WB, NC, dup, n1), np.uint8)
+    ab, _ = _absorbed_digits(msmall, moduli)
+    ab = ab.reshape(k, n1, WB, NP, n1)
+    out = np.zeros((k, dup, n1, WB, NP, dup, n1), np.int8)
     for d in range(dup):
-        for b in range(WB):
-            for c in range(NC):
-                lb = c - b
-                if 0 <= lb < NL:
-                    out[:, d, :, b, c, d, :] = limbs[lb]
-    return out.reshape(k, dup * n1 * WB, NC * dup * n1)
+        out[:, d, :, :, :, d, :] = ab
+    mat = out.reshape(k, dup * n1 * WB, NP * dup * n1)
+    bias = (128 * mat.astype(np.int64).sum(axis=1, keepdims=True)
+            + _KBIAS).astype(np.int32)
+    return mat, bias
 
 
 class PallasMatmulNttPlan:
@@ -290,27 +356,17 @@ class PallasMatmulNttPlan:
                     iacc = iacc * iwi % q
             mu, s1 = m.barrett32_consts(q)
             c32 = (1 << 32) % q
-            c64 = (1 << 64) % q
             consts[j] = (q, mu, s1, c32, m.shoup_ratio32(c32, q),
-                         c64, m.shoup_ratio32(c64, q), 0)
+                         (-_K) % q, 0, 0)
 
-        def byte_op(msrc, n_in):
-            """[k, n_in, n_out] -> [k, n_in*WB, NC*n_out] (rows
-            (i, byte), cols (c, j)) for the 128-wide stages."""
-            limbs = _u8_limbs_host(msrc, NL)    # [NL, k, n_in, n_out]
-            n_out = msrc.shape[2]
-            out = np.zeros((k, n_in, WB, NC, n_out), np.uint8)
-            for b in range(WB):
-                for c in range(NC):
-                    lb = c - b
-                    if 0 <= lb < NL:
-                        out[:, :, b, c, :] = limbs[lb]
-            return out.reshape(k, n_in * WB, NC * n_out)
-
-        self.s1_m = jnp.asarray(byte_op(m2, n2))
-        self.s2_m = jnp.asarray(_pair_matrix(m1, n1, dup))
-        self.iA_m = jnp.asarray(_pair_matrix(im1, n1, dup))
-        self.iB_m = jnp.asarray(byte_op(im2, n2))
+        # All plan tables are NUMPY: a jnp constant made here would be
+        # cached as a leaked tracer if the plan were built lazily under
+        # an outer jit trace (CLAUDE.md round-2 gotcha); _transform
+        # converts per-trace.
+        self.s1_m = _absorbed_digits(m2, moduli)
+        self.s2_m = _pair_matrix(m1, n1, dup, moduli)
+        self.iA_m = _pair_matrix(im1, n1, dup, moduli)
+        self.iB_m = _absorbed_digits(im2, moduli)
 
         def shoup_arr(arr):
             flat = arr.reshape(k, -1)
@@ -319,9 +375,21 @@ class PallasMatmulNttPlan:
                  for row, qq in zip(flat, moduli)],
                 dtype=np.uint32).reshape(arr.shape)
 
+        def mulmod_arr(arr, c_per_limb):
+            flat = arr.reshape(k, -1).astype(np.uint64)
+            cs = np.array(c_per_limb, np.uint64)
+            qs = np.array(moduli, np.uint64)
+            return ((flat * cs[:, None]) % qs[:, None]).astype(
+                np.uint32).reshape(arr.shape)
+
+        def twiddle_quint(arr):
+            t32 = mulmod_arr(arr, [(1 << 32) % q for q in moduli])
+            # -t*K mod q (the assembled-shift correction, see header)
+            tk = mulmod_arr(arr, [(-_K) % q for q in moduli])
+            return (arr, shoup_arr(arr), t32, shoup_arr(t32), tk)
+
         # fwd mid twiddle in the stage-1 output layout (i1, j2)
-        self.tw_f = jnp.asarray(tw1)
-        self.tw_f_sh = jnp.asarray(shoup_arr(tw1))
+        self.tw_f = twiddle_quint(tw1)
         # inverse mid twiddle in the stage-A output layout: row g,
         # lane (d, i1) corresponds to (i1, j2 = g*dup + d)
         itw_pair = np.empty((k, n1, LANES), np.uint32)
@@ -330,20 +398,19 @@ class PallasMatmulNttPlan:
                 for i1 in range(n1):
                     itw_pair[:, g, d * n1 + i1] = \
                         itw1[:, i1, g * dup + d]
-        self.tw_i = jnp.asarray(itw_pair)
-        self.tw_i_sh = jnp.asarray(shoup_arr(itw_pair))
-        self.consts = jnp.asarray(consts)
-        self.q = jnp.asarray(np.array(moduli, np.uint32))
+        self.tw_i = twiddle_quint(itw_pair)
+        self.consts = consts
+        self.q_host = np.array(moduli, np.uint32)
         # generic (mu, s1) views for pointwise ops
-        self.c0 = jnp.asarray(consts[:, 1].copy())
-        self.c1 = jnp.asarray(consts[:, 2].copy())
+        self.c0_host = consts[:, 1].copy()
+        self.c1_host = consts[:, 2].copy()
 
     # -- stage dispatch ------------------------------------------------------
 
     def _bb(self, rows: int, target_bytes: int = 256 << 10) -> int:
         """Rows per block: the x block (bb * N bytes) target; the i32
-        partial stack (bb * n1 * NC*128 * 4 = 7 * bb * N) dominates the
-        kernel's VMEM so keep bb * N around 256 KB (~2 MB partials)."""
+        partial stack (bb * n1 * NP*128 * 4 = 4 * bb * N) dominates the
+        kernel's VMEM so keep bb * N around 256 KB (~1 MB partials)."""
         row_bytes = self.n * 4
         b = max(1, min(rows, target_bytes // row_bytes))
         while rows % b:
@@ -361,34 +428,42 @@ class PallasMatmulNttPlan:
         interp = _interpret()
         kr = k * rows
 
-        def u8(v):
-            return jax.lax.bitcast_convert_type(v, jnp.uint8).reshape(
-                kr, n1, 512)
+        def i8x(v):
+            # XOR 0x80 per byte (so the Pallas signed dot sees exactly
+            # X - 128), then reinterpret as i8 contraction vectors.
+            return jax.lax.bitcast_convert_type(
+                v ^ jnp.uint32(0x80808080), jnp.int8).reshape(
+                    kr, n1, 512)
+
+        consts = jnp.asarray(self.consts)
+
+        def mb(pair):
+            return jnp.asarray(pair[0]), jnp.asarray(pair[1])
 
         if not inverse:
             # rows (r, i1), vectors (i2, byte)
             a = jnp.transpose(x.reshape(rows, k, n2, n1), (1, 0, 3, 2))
             f1 = _make_stage(n, k, rows, bb, n1, twiddle=True,
                              interpret=interp)
-            y = f1(self.consts, u8(a), self.s1_m, self.tw_f,
-                   self.tw_f_sh)                   # [kr, i1, j2]
+            y = f1(consts, i8x(a), *mb(self.s1_m),
+                   *map(jnp.asarray, self.tw_f))    # [kr, i1, j2]
             # rows (r, j2-group), vectors (d, i1, byte)
             yt = jnp.transpose(y, (0, 2, 1)).reshape(kr, n1, dup * n1)
             f2 = _make_stage(n, k, rows, bb, n1, twiddle=False,
                              interpret=interp)
-            z = f2(self.consts, u8(yt), self.s2_m)  # flat (j2, j1)
+            z = f2(consts, i8x(yt), *mb(self.s2_m))  # (j2, j1)
             return jnp.transpose(z.reshape(k, rows, n), (1, 0, 2))
 
         # inverse: domain flat (j2*n1 + j1) — dup j2's are contiguous
         zz = jnp.transpose(x, (1, 0, 2)).reshape(kr, n1, dup * n1)
         fA = _make_stage(n, k, rows, bb, n1, twiddle=True,
                          interpret=interp)
-        u = fA(self.consts, u8(zz), self.iA_m, self.tw_i,
-               self.tw_i_sh)                       # flat (j2, i1)
+        u = fA(consts, i8x(zz), *mb(self.iA_m),
+               *map(jnp.asarray, self.tw_i))        # flat (j2, i1)
         ut = jnp.transpose(u.reshape(kr, n2, n1), (0, 2, 1))
         fB = _make_stage(n, k, rows, bb, n1, twiddle=False,
                          interpret=interp)
-        v = fB(self.consts, u8(ut), self.iB_m)     # flat (i1, i2)
+        v = fB(consts, i8x(ut), *mb(self.iB_m))    # flat (i1, i2)
         vt = jnp.transpose(v.reshape(kr, n1, n2), (0, 2, 1))
         return jnp.transpose(vt.reshape(k, rows, n), (1, 0, 2))
 
@@ -415,8 +490,9 @@ class PallasMatmulNttPlan:
     def pointwise_mul(self, a, b):
         """Exact (a * b) mod q per limb on NTT-domain stacks [..., k, N]."""
         k = len(self.moduli)
-        return m.w_mul_mod(a, b, self.q.reshape(k, 1),
-                           self.c0.reshape(k, 1), self.c1.reshape(k, 1))
+        return m.w_mul_mod(a, b, jnp.asarray(self.q_host).reshape(k, 1),
+                           jnp.asarray(self.c0_host).reshape(k, 1),
+                           jnp.asarray(self.c1_host).reshape(k, 1))
 
     def negacyclic_mul(self, a, b):
         return self.inv(self.pointwise_mul(self.fwd(a), self.fwd(b)))

@@ -213,11 +213,14 @@ class FusedRnsOp:
         assert mode in ("convert", "scale")
         self.ks, self.kd = src.k, dst.k
         self.mode, self.centered = mode, centered
-        self.src_c = jnp.asarray(self._with_fp(_pack_src(src),
-                                               fp_hi, fp_lo))
-        self.dst_c = jnp.asarray(_pack_dst(dst, w0))
+        # NUMPY attributes, converted per-trace in __call__: ops are
+        # built lazily, possibly while an OUTER jit is tracing — a jnp
+        # constant created here would be cached as a leaked tracer
+        # (CLAUDE.md round-2 gotcha).
+        self.src_c = self._with_fp(_pack_src(src), fp_hi, fp_lo)
+        self.dst_c = _pack_dst(dst, w0)
         # raw 64-bit limb accumulation needs no per-entry shoup ratios
-        self.mat = jnp.asarray(mat.astype(np.uint32))
+        self.mat = mat.astype(np.uint32)
 
     @staticmethod
     def _with_fp(src_c, fp_hi, fp_lo):
@@ -263,7 +266,8 @@ class FusedRnsOp:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, self.kd, n), U32),
             interpret=interp,
-        )(self.src_c, self.dst_c, self.mat, xr)
+        )(jnp.asarray(self.src_c), jnp.asarray(self.dst_c),
+          jnp.asarray(self.mat), xr)
         return out.reshape(*lead, self.kd, n)
 
 
@@ -283,7 +287,7 @@ class FusedTensor3:
 
     def __init__(self, moduli):
         self.k = len(moduli)
-        self.consts = jnp.asarray(_mod_consts(moduli))
+        self.consts = _mod_consts(moduli)  # numpy (lazy-build safety)
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, a, b):
@@ -339,7 +343,7 @@ class FusedTensor3:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, 3, k, n), U32),
             interpret=jax.default_backend() == "cpu",
-        )(self.consts, ar, br)
+        )(jnp.asarray(self.consts), ar, br)
         return out.reshape(*lead, 3, k, n)
 
 
@@ -351,7 +355,7 @@ class FusedKsInner:
 
     def __init__(self, moduli):
         self.kk = len(moduli)
-        self.consts = jnp.asarray(_mod_consts(moduli))
+        self.consts = _mod_consts(moduli)  # numpy (lazy-build safety)
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, d_hat, k0, k1):
@@ -417,7 +421,7 @@ class FusedKsInner:
                 jax.ShapeDtypeStruct((rows, kk, n), U32),
             ],
             interpret=jax.default_backend() == "cpu",
-        )(self.consts, dr, k0, k1)
+        )(jnp.asarray(self.consts), dr, k0, k1)
         return (o0.reshape(*lead, kk, n), o1.reshape(*lead, kk, n))
 
 
@@ -440,11 +444,11 @@ class FusedModDown:
             mu, s1 = m.barrett32_consts(q)
             c[j] = (q, mu, s1, int(half_mod_q[j]), int(inv_p[j]),
                     int(inv_p_sh[j]), 0, 0)
-        self.consts = jnp.asarray(c)
+        self.consts = c  # numpy (lazy-build safety)
         p = int(md.p_dev)
         mu_p, s1_p = m.barrett32_consts(p)
-        self.p_consts = jnp.asarray(
-            np.array([[p, mu_p, s1_p, p >> 1, 0, 0, 0, 0]], np.uint32))
+        self.p_consts = np.array(
+            [[p, mu_p, s1_p, p >> 1, 0, 0, 0, 0]], np.uint32)
 
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, x_q, x_p):
@@ -502,7 +506,7 @@ class FusedModDown:
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, k, n), U32),
             interpret=jax.default_backend() == "cpu",
-        )(self.consts, self.p_consts, xq, xp)
+        )(jnp.asarray(self.consts), jnp.asarray(self.p_consts), xq, xp)
         return out.reshape(*lead, self.k, n)
 
 

