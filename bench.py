@@ -28,7 +28,7 @@ import jax.numpy as jnp
 BASELINE_OPS_PER_S = 250.0
 N = 8192
 LIMBS = 3          # the metric's u64-equivalent parameter point
-BATCH = int(os.environ.get("SUNSCREEN_TPU_BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("SUNSCREEN_TPU_BENCH_BATCH", "32"))
 WORD = os.environ.get("SUNSCREEN_TPU_BENCH_WORD", "u32")
 
 

@@ -30,7 +30,11 @@ rng = np.random.default_rng(0)
 def bench(label, fn, *args, iters=20):
     f = jax.jit(fn)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(f(*args))
+    out = f(*args)
+    # force a real host materialization: on the tunneled chip,
+    # block_until_ready alone returns early until a fetch has happened
+    # (round-3 measurement gotcha — timings were fantasy without this)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
     print(f"{label}: compile {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -49,24 +53,27 @@ bench("fwd", plan.fwd, x)
 bench("inv", plan.inv, x)
 bench("fwd+inv", lambda v: plan.inv(plan.fwd(v)), x)
 
-# stage kernels alone (input pre-laid-out, so only kernel time)
+# stage kernels alone (v4 fused stages; input pre-laid-out)
 kr = K * rows
 bb = plan._bb(rows)
-xb = jnp.asarray(rng.integers(-128, 128, (kr, n1, 512)), jnp.int8)
+x4 = jnp.asarray(rng.integers(0, min(mods), (rows, K, n2, n1)),
+                 jnp.uint32)
+y4 = jnp.asarray(rng.integers(0, min(mods), (K, rows, n2, n1)),
+                 jnp.uint32)
 consts = jnp.asarray(plan.consts)
 s1_m, s1_b = map(jnp.asarray, plan.s1_m)
 s2_m, s2_b = map(jnp.asarray, plan.s2_m)
 twf = tuple(map(jnp.asarray, plan.tw_f))
 
-f1 = pmntt._make_stage(N, K, rows, bb, n1, twiddle=True, interpret=False)
-f2 = pmntt._make_stage(N, K, rows, bb, n1, twiddle=False, interpret=False)
-bench("stage kernel (twiddle)",
-      lambda v: f1(consts, v, s1_m, s1_b, *twf), xb)
-bench("stage kernel (plain)", lambda v: f2(consts, v, s2_m, s2_b), xb)
+f1 = pmntt._make_stage("s1", N, K, rows, bb, n1, interpret=False)
+f2 = pmntt._make_stage("s2", N, K, rows, bb, n1, interpret=False)
+bench("stage s1 (transpose+twiddle)",
+      lambda v: f1(consts, v, s1_m, s1_b, *twf), x4)
+bench("stage s2 (plain)", lambda v: f2(consts, v, s2_m, s2_b), y4)
 
 
-# dot-only kernel: same dot, write one partial plane back (no recombine)
-def _dot_only(n, k, rows, bb, n1):
+# dot-only kernel: the s1 dot shape with no recombine/transpose
+def _dot_only(k, rows, bb, n1):
     rpb = rows // bb
 
     def kernel(x_r, m_r, o_r):
@@ -94,19 +101,6 @@ def _dot_only(n, k, rows, bb, n1):
     )
 
 
-fd = _dot_only(N, K, rows, bb, n1)
+xb = jnp.asarray(rng.integers(-128, 128, (kr, n1, 512)), jnp.int8)
+fd = _dot_only(K, rows, bb, n1)
 bench("dot-only kernel", lambda v: fd(v, s1_m), xb)
-
-# inter-stage glue: transpose + bitcast only
-y = jnp.asarray(rng.integers(0, min(mods), (kr, n1, n2)), jnp.uint32)
-bench("transpose+bitcast (stage1->2)",
-      lambda v: jax.lax.bitcast_convert_type(
-          jnp.transpose(v, (0, 2, 1)).reshape(kr, n1, plan.dup * n1),
-          jnp.uint8).reshape(kr, n1, 512), y)
-bench("entry transpose+bitcast",
-      lambda v: jax.lax.bitcast_convert_type(
-          jnp.transpose(v.reshape(rows, K, n2, n1), (1, 0, 3, 2)),
-          jnp.uint8).reshape(kr, n1, 512), x)
-bench("exit transpose",
-      lambda v: jnp.transpose(v.reshape(K, rows, N), (1, 0, 2)),
-      y.reshape(K, rows, N))

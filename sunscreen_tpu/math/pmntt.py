@@ -1,52 +1,64 @@
 """Fused MXU+VPU negacyclic NTT for the u32 engine (moduli < 2^30).
 
-The round-3 perf probes (benchmarks/PERF_NOTES.md) established on the
-v5e:
+Round-3 findings on the v5e (benchmarks/PERF_NOTES.md) that shape this
+design:
 
-- XLA-level int8 einsums for the four-step DFT ran at only ~10 TMAC/s
-  with 150-450 s compiles, while the IDENTICAL dot issued from inside a
-  Pallas kernel runs at ~400 TMAC/s (u8) with sub-second compiles;
-- the i32-diagonal recombination dominates each stage (the VPU has no
-  native 32-bit multiply), so its op count per element is the knob that
-  sets NTT throughput.
+- the chip's EFFECTIVE HBM bandwidth through this stack is ~120 GB/s
+  (not the 819 GB/s spec) and every XLA op between kernels is a full
+  HBM round trip, so the NTT must minimize PASSES, not arithmetic;
+- in-kernel MXU dots run at ~45-65 TMAC/s once the ~0.9 ms tunnel
+  dispatch floor is accounted for (the XLA-level dot_general path for
+  the same shapes is pathological), so dot MACs are nearly free;
+- Mosaic supports in-kernel 2D tile transposes (jnp.swapaxes), byte
+  extraction via shift/mask, astype(int8), and lane-dim concatenation
+  — but NOT bitcasts that change bitwidth.
 
-So each four-step stage is ONE Pallas kernel: a u8 dot on the MXU
-feeds i32 partials that are recombined and reduced in the same VMEM
-residency. Reference replacement: SEAL's Harvey NTT core
-(`seal_fhe/SEAL` engine consumed by every Evaluator op — SURVEY.md
-§2.4).
+So each four-step transform is exactly TWO Pallas kernels with NO XLA
+ops between them: every kernel fuses (layout transpose) + (signed byte
+extraction) + (MXU dot) + (2-word recombination + modular reduction +
+optional twiddle) in one VMEM residency, and the k <-> row-major
+reorders ride the block index maps for free. Reference replacement:
+SEAL's Harvey NTT core (`seal_fhe/SEAL` engine consumed by every
+Evaluator op — SURVEY.md §2.4).
 
-v3 (round-3, second pass): ABSORBED BYTE WEIGHTS, i8-NATIVE. v2
-byte-split both operands, giving NC = 2*NL-1 = 7 convolution diagonals
-and a 3-word (h, m, l) accumulator (~90 VPU ops/element to recombine).
-v3 instead precomputes, for every input byte plane a, the matrix
-(2^{8a} * M) mod q and digit-splits THAT: the dot's output diagonals
-are just the 4 digit planes of a value < q, so
+v4 stage structure (N = n1 * 128, n2 = 128; domain = flat (j2, j1)):
+
+  fwd S1: read [rows, k, n2, n1] block (i2, i1) -> in-kernel transpose
+          -> rows (r, i1), contraction (byte a, i2), K = 4*n2 = 512
+          -> dot m2 -> recombine -> psi mid-twiddle (i1, j2)
+          -> in-kernel transpose -> write [k, rows, n2(j2), n1(i1)]
+  fwd S2: read (j2, i1) rows (r, j2), contraction (a, i1), K = 4*n1
+          -> dot m1 (columns padded to 128) -> recombine
+          -> write [rows, k, n2(j2), n1(j1)]      == the NTT domain
+  inv A:  read domain (j2, j1) rows (r, j2), contraction (a, j1)
+          -> dot im1 -> recombine -> inverse twiddle (j2, i1)
+          -> write [k, rows, n2(j2), n1(i1)]
+  inv B:  read (j2, i1) -> transpose -> rows (r, i1), contraction
+          (a, j2), K = 512 -> dot im2 (psi^-1/N folded) -> recombine
+          -> transpose -> write [rows, k, n2(i2), n1(i1)]  == natural
+
+ARITHMETIC: absorbed byte weights, i8-native. For every input byte
+plane a the matrix (2^(8a) * M) mod q is precomputed and split into
+BALANCED signed digits d_b in [-128, 127] (sum_b d_b 2^(8b) = value),
+so the dot's output diagonals are 4 digit planes of a value < q and
 
     y = sum_b T_b 2^(8b)  <  2^50
 
 assembles into a 2-word (l, m < 2^18) pair with three shifted adds.
-The mid twiddle is applied directly to the UNREDUCED pair via two
-Shoup multiplies by the precomputed constants t and (t*2^32 mod q) —
-no standalone reduction step at all on twiddled stages:
-
-    t*y mod q = (t*l mod q) + (t*2^32 mod q)*m mod q
-
-Untwiddled stages fold m with one Shoup by (2^32 mod q) plus a single
-Barrett on l. ~60 VPU ops/element/stage vs ~110 in v2, and the dot
-shrinks (512x512 operand vs 512x896).
+The mid twiddle applies to the UNREDUCED pair via two Shoup multiplies
+by precomputed t and (t*2^32 mod q); untwiddled stages fold m with one
+Shoup by (2^32 mod q) plus a single Barrett on l.
 
 SIGNED-DOT HAZARD (measured on the real chip, round 3): this Mosaic
 toolchain lowers jnp.dot(u8, u8, preferred_element_type=i32) inside a
 Pallas kernel as a SIGNED i8 x i8 MXU product — u8 operands are
 silently reinterpreted (the XLA-level einsum is correct; the bug is
 Pallas-only, and it made the v2 kernels wrong on hardware while the
-CPU interpret tests passed). v3 is therefore i8-native by design:
+CPU interpret tests passed). v4 is therefore i8-native by design:
 
-- matrix entries are BALANCED signed digits d_b in [-128, 127] with
-  sum_b d_b 2^(8b) = (2^(8a) M) mod q;
-- input bytes are XOR'd with 0x80 (exactly X - 128 reinterpreted as
-  i8), done on the u32 words before the bitcast;
+- matrix entries are balanced signed digits (above);
+- input bytes are extracted in-kernel as ((x >> 8a) & 0xFF) ^ 0x80,
+  truncated to i8 — exactly X_a - 128;
 - the hardware partial P_b = sum_j (X_j - 128) d_bj is corrected with
   a per-column bias 128*colsum(d_b) + 2^24, making
   U_b = sum_j X_j d_bj + 2^24 nonnegative (< 2^25);
@@ -56,24 +68,8 @@ CPU interpret tests passed). v3 is therefore i8-native by design:
 
 Every |P_b| <= 512*128*128 = 2^23 fits i32; validated against
 python-int oracles in tests/test_pmntt.py AND against the interpret
-oracle on the real chip (tools/tpu_selfcheck.py).
-
-Layout (N = n1 * 128, dup = 128/n1 so every stage is uniform):
-
-  stage matrices are [k, 512, 4*128] u8: 512 contraction bytes
-  (contracted dim x 4 input-word bytes, pairs of `dup` adjacent rows
-  block-diagonally when the contracted dim is n1 < 128), 4*128 output
-  lanes (output-byte-major, each a 128-lane tile). Kernel blocks:
-  x [bb, n1, 512] u8, out [bb, n1, 128] u32.
-
-  fwd:  x[i1 + n1*i2]: transpose -> rows (r, i1), vectors (i2, byte)
-        stage 1 -> flat (i1, j2), mid psi-twiddle fused
-        transpose -> rows (r, j2-group), vectors (dup, i1, byte)
-        stage 2 -> NTT domain flat (j2*n1 + j1)
-  inv:  domain rows group dup j2's CONTIGUOUSLY (no entry transpose)
-        stage A (contract j1) -> flat (j2, i1), inverse twiddle fused
-        transpose; stage B (contract j2, psi^-1/N folded) ->
-        flat (i1, i2) -> one last transpose to natural order.
+oracle on the real chip (tools/tpu_selfcheck.py — rerun it after ANY
+kernel change; interpret-mode tests cannot catch device miscompiles).
 """
 
 from __future__ import annotations
@@ -95,7 +91,10 @@ U32 = jnp.uint32
 I32 = jnp.int32
 LANES = 128
 WB = 4          # u32 word bytes (input planes)
-NP = 4          # output byte planes (matrix entries < q < 2^30)
+NP = 4          # output digit planes (matrix entries < q < 2^30)
+
+_KBIAS = 1 << 24   # per-plane nonnegativity shift
+_K = sum(_KBIAS << (8 * b) for b in range(NP))  # total assembled shift
 
 
 # ---------------------------------------------------------------------------
@@ -153,20 +152,41 @@ def _assemble_lm(p):
     return l, mw
 
 
+def _extract_i8(t, n_rows, kdim):
+    """u32 tile [bb, r, c] -> signed contraction operand
+    [bb*r, 4*c] i8 with lanes plane-major (a, c): plane a holds
+    ((t >> 8a) & 0xFF) ^ 0x80 truncated to i8 (= byte_a - 128)."""
+    planes = [((t >> jnp.uint32(8 * a)) & jnp.uint32(0xFF)
+               ^ jnp.uint32(0x80)).astype(jnp.int8) for a in range(WB)]
+    return jnp.concatenate(planes, axis=-1).reshape(n_rows, kdim)
+
+
 # ---------------------------------------------------------------------------
-# fused stage kernel: MXU byte dot + (l, m) assemble + twiddle-or-reduce
+# fused stage kernels
 # ---------------------------------------------------------------------------
 
 
-def _make_stage(n: int, k: int, rows: int, bb: int, n1: int,
-                twiddle: bool, interpret: bool):
-    """pallas_call for one four-step stage. Inputs: consts [k, 8] SMEM;
-    x [k*rows, n1, 512] u8 (bytes already XOR 0x80); mat
-    [k, 512, NP*128] i8 balanced digits; bias [k, 1, NP*128] i32;
-    optional twiddle quint [k, n1, 128] u32 (t, t_sh, t32, t32_sh,
-    tK = -t*K mod q). Output [k*rows, n1, 128] u32. Grid
-    (limb, row-block); bb | rows."""
+def _make_stage(kind: str, n: int, k: int, rows: int, bb: int, n1: int,
+                interpret: bool):
+    """One four-step stage as a single pallas_call; kind selects the
+    dataflow (see module header):
+
+      s1: in [rows,k,n2,n1] +transpose, K=4*n2, twiddle, +transpose,
+          out [k,rows,n2,n1]
+      s2: in [k,rows,n2,n1], K=4*n1, out [rows,k,n2,n1]
+      iA: in [rows,k,n2,n1], K=4*n1, twiddle, out [k,rows,n2,n1]
+      iB: in [k,rows,n2,n1] +transpose, K=4*n2, +transpose,
+          out [rows,k,n2,n1]
+
+    Inputs: consts [k, 8] SMEM; x u32; mat [k, K, NP*128] i8; bias
+    [k, 1, NP*128] i32; for twiddled kinds a quint of [k, R, C] u32
+    tables (t, t_sh, t32, t32_sh, tK). Grid (limb, row-block)."""
+    n2 = LANES
     rpb = rows // bb
+    transpose = kind in ("s1", "iB")
+    twiddle = kind in ("s1", "iA")
+    kdim = WB * (n2 if transpose else n1)
+    ncols = NP * LANES
 
     def kernel(*refs):
         if twiddle:
@@ -176,14 +196,23 @@ def _make_stage(n: int, k: int, rows: int, bb: int, n1: int,
             consts_r, x_r, m_r, b_r, o_r = refs
         li = pl.program_id(0)
         q = consts_r[li, 0]
-        a = x_r[:].reshape(bb * n1, 512)
-        p = jnp.dot(a, m_r[0], preferred_element_type=I32)
-        # U_b = P_b + 128*colsum(d_b) + 2^24 >= 0 (bias table)
+        if transpose:
+            t = jnp.swapaxes(x_r[:].reshape(bb, n2, n1), 1, 2)
+            nrow = n1
+        else:
+            t = x_r[:].reshape(bb, n2, n1)
+            nrow = n2
+        a8 = _extract_i8(t, bb * nrow, kdim)
+        p = jnp.dot(a8, m_r[0], preferred_element_type=I32)
         p = (p + b_r[0]).astype(U32)
         l, mw = _assemble_lm(
             [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
-        l = l.reshape(bb, n1, LANES)
-        mw = mw.reshape(bb, n1, LANES)
+        if not transpose and n1 < LANES:
+            l = l[:, :n1]       # drop the zero-padded output columns
+            mw = mw[:, :n1]
+        ocols = l.shape[-1]
+        l = l.reshape(bb, nrow, ocols)
+        mw = mw.reshape(bb, nrow, ocols)
         if twiddle:
             # t*(y - K) mod q with y = l + m*2^32 unreduced: two
             # Shoups plus the precomputed -t*K term.
@@ -192,17 +221,23 @@ def _make_stage(n: int, k: int, rows: int, bb: int, n1: int,
                  + tk_r[0])
         else:
             mu = consts_r[li, 1]
-            s1 = consts_r[li, 2]
+            s1c = consts_r[li, 2]
             c32 = consts_r[li, 3]
             c32_sh = consts_r[li, 4]
             r = (_norm2q(_shoup2q(mw, c32, c32_sh, q), q)
-                 + _reduce32(l, q, mu, s1) + consts_r[li, 5])
+                 + _reduce32(l, q, mu, s1c) + consts_r[li, 5])
         q2 = q + q
         r = jnp.where(r >= q2, r - q2, r)
-        o_r[:] = _norm2q(r, q)
+        r = _norm2q(r, q)
+        if transpose:
+            r = jnp.swapaxes(r, 1, 2)   # back to (n2-major, n1)
+        o_r[:] = r.reshape(o_r.shape)
 
-    def imap_x(i, j):
-        return (i * rpb + j, jnp.int32(0), jnp.int32(0))
+    def imap_rk(i, j):      # [rows, k, n2, n1] arrays
+        return (j, i, jnp.int32(0), jnp.int32(0))
+
+    def imap_kr(i, j):      # [k, rows, n2, n1] arrays
+        return (i, j, jnp.int32(0), jnp.int32(0))
 
     def imap_limb(i, j):
         return (i, jnp.int32(0), jnp.int32(0))
@@ -210,23 +245,33 @@ def _make_stage(n: int, k: int, rows: int, bb: int, n1: int,
     def imap_consts(i, j):
         return (jnp.int32(0), jnp.int32(0))
 
+    in_rk = kind in ("s1", "iA")
+    out_rk = kind in ("s2", "iB")
+    x_spec = pl.BlockSpec(
+        (bb, 1, n2, n1) if in_rk else (1, bb, n2, n1),
+        imap_rk if in_rk else imap_kr, memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec(
+        (bb, 1, n2, n1) if out_rk else (1, bb, n2, n1),
+        imap_rk if out_rk else imap_kr, memory_space=pltpu.VMEM)
+    o_shape = ((rows, k, n2, n1) if out_rk else (k, rows, n2, n1))
+
     in_specs = [pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
-                pl.BlockSpec((bb, n1, 512), imap_x,
+                x_spec,
+                pl.BlockSpec((1, kdim, ncols), imap_limb,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 512, NP * LANES), imap_limb,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, NP * LANES), imap_limb,
+                pl.BlockSpec((1, 1, ncols), imap_limb,
                              memory_space=pltpu.VMEM)]
     if twiddle:
-        in_specs += [pl.BlockSpec((1, n1, LANES), imap_limb,
+        trows = n1 if kind == "s1" else n2
+        tcols = n2 if kind == "s1" else n1
+        in_specs += [pl.BlockSpec((1, trows, tcols), imap_limb,
                                   memory_space=pltpu.VMEM)] * 5
     return pl.pallas_call(
         kernel,
         grid=(k, rpb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bb, n1, LANES), imap_x,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k * rows, n1, LANES), U32),
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct(o_shape, U32),
         interpret=interpret,
     )
 
@@ -239,10 +284,6 @@ def _interpret() -> bool:
     if _INTERPRET is None:
         _INTERPRET = jax.default_backend() == "cpu"
     return _INTERPRET
-
-
-_KBIAS = 1 << 24   # per-plane nonnegativity shift
-_K = sum(_KBIAS << (8 * b) for b in range(NP))  # total assembled shift
 
 
 def _balanced_digits(v: np.ndarray) -> list[np.ndarray]:
@@ -261,52 +302,37 @@ def _balanced_digits(v: np.ndarray) -> list[np.ndarray]:
 def _absorbed_digits(msrc: np.ndarray, moduli) \
         -> tuple[np.ndarray, np.ndarray]:
     """[k, n_in, n_out] u64 (entries < q) -> (mat, bias): mat
-    [k, n_in*WB, NP*n_out] int8 with row (i, a), col (b, j), entry
-    digit_b((2^(8a) * M[i, j]) mod q); bias [k, 1, NP*n_out] i32 =
-    128*colsum(mat) + 2^24 (the signed-dot zero-point correction)."""
+    [k, WB*n_in, NP*128] int8 with row (a, i) PLANE-MAJOR, col (b, j)
+    zero-padded to 128 j-lanes; entry digit_b((2^(8a) M[i, j]) mod q).
+    bias [k, 1, NP*128] i32 = 128*colsum(mat) + 2^24 (the signed-dot
+    zero-point correction)."""
     k, n_in, n_out = msrc.shape
-    out = np.empty((k, n_in, WB, NP, n_out), np.int8)
+    assert n_out <= LANES
+    out = np.zeros((k, WB, n_in, NP, LANES), np.int8)
     for j, q in enumerate(moduli):
         for a in range(WB):
             ma = (msrc[j] * ((1 << (8 * a)) % q)) % q  # < 2^30, u64 safe
             digs = _balanced_digits(ma)
             for b in range(NP):
-                out[j, :, a, b, :] = digs[b]
-    mat = out.reshape(k, n_in * WB, NP * n_out)
-    bias = (128 * mat.astype(np.int64).sum(axis=1, keepdims=True)
-            + _KBIAS).astype(np.int32)
-    return mat, bias
-
-
-def _pair_matrix(msmall: np.ndarray, n1: int, dup: int, moduli) \
-        -> tuple[np.ndarray, np.ndarray]:
-    """[k, n1, n1] u64 DFT matrix -> block-diagonal paired absorbed
-    operand [k, dup*n1*WB, NP*dup*n1] int8 (+ bias): rows (d, i, a),
-    cols (c, d, j); entry digit_c((2^(8a) M[i, j]) mod q) when the d's
-    match, 0 otherwise."""
-    k = msmall.shape[0]
-    ab, _ = _absorbed_digits(msmall, moduli)
-    ab = ab.reshape(k, n1, WB, NP, n1)
-    out = np.zeros((k, dup, n1, WB, NP, dup, n1), np.int8)
-    for d in range(dup):
-        out[:, d, :, :, :, d, :] = ab
-    mat = out.reshape(k, dup * n1 * WB, NP * dup * n1)
+                out[j, a, :, b, :n_out] = digs[b]
+    mat = out.reshape(k, WB * n_in, NP * LANES)
     bias = (128 * mat.astype(np.int64).sum(axis=1, keepdims=True)
             + _KBIAS).astype(np.int32)
     return mat, bias
 
 
 class PallasMatmulNttPlan:
-    """Negacyclic NTT over u32 RNS limb stacks: fused MXU-dot +
-    recombination Pallas stages. Same call surface as the other plans
-    (fwd/inv/pointwise_mul/negacyclic_mul on [..., k, N]); NTT domain
-    is the plan-private flat (j2*n1 + j1) four-step order."""
+    """Negacyclic NTT over u32 RNS limb stacks: fused transpose +
+    signed-byte-extract + MXU-dot + recombination Pallas stages. Same
+    call surface as the other plans (fwd/inv/pointwise_mul/
+    negacyclic_mul on [..., k, N]); NTT domain is the plan-private
+    flat (j2*n1 + j1) four-step order."""
 
     mode = "pallas"
 
     def __init__(self, n: int, moduli: tuple[int, ...]):
         assert n & (n - 1) == 0 and n >= 256, "pallas plan needs N >= 256"
-        assert n <= 16384, "pallas plan pairs rows; N <= 16384"
+        assert n <= 16384, "pallas plan: n1 <= 128 needs N <= 16384"
         assert max(q.bit_length() for q in moduli) <= 30
         assert min(q.bit_length() for q in moduli) >= 17
         self.n = n
@@ -315,8 +341,7 @@ class PallasMatmulNttPlan:
         k = len(moduli)
         n2 = LANES
         n1 = n // n2
-        dup = LANES // n1 if n1 < LANES else 1
-        self.n1, self.n2, self.dup = n1, n2, dup
+        self.n1, self.n2 = n1, n2
 
         m2 = np.empty((k, n2, n2), dtype=np.uint64)
         m1 = np.empty((k, n1, n1), dtype=np.uint64)
@@ -364,8 +389,8 @@ class PallasMatmulNttPlan:
         # an outer jit trace (CLAUDE.md round-2 gotcha); _transform
         # converts per-trace.
         self.s1_m = _absorbed_digits(m2, moduli)
-        self.s2_m = _pair_matrix(m1, n1, dup, moduli)
-        self.iA_m = _pair_matrix(im1, n1, dup, moduli)
+        self.s2_m = _absorbed_digits(m1, moduli)
+        self.iA_m = _absorbed_digits(im1, moduli)
         self.iB_m = _absorbed_digits(im2, moduli)
 
         def shoup_arr(arr):
@@ -388,17 +413,11 @@ class PallasMatmulNttPlan:
             tk = mulmod_arr(arr, [(-_K) % q for q in moduli])
             return (arr, shoup_arr(arr), t32, shoup_arr(t32), tk)
 
-        # fwd mid twiddle in the stage-1 output layout (i1, j2)
+        # fwd mid twiddle in the S1 pre-transpose layout (i1, j2);
+        # inverse mid twiddle in the A output layout (j2, i1)
         self.tw_f = twiddle_quint(tw1)
-        # inverse mid twiddle in the stage-A output layout: row g,
-        # lane (d, i1) corresponds to (i1, j2 = g*dup + d)
-        itw_pair = np.empty((k, n1, LANES), np.uint32)
-        for g in range(n1):
-            for d in range(dup):
-                for i1 in range(n1):
-                    itw_pair[:, g, d * n1 + i1] = \
-                        itw1[:, i1, g * dup + d]
-        self.tw_i = twiddle_quint(itw_pair)
+        self.tw_i = twiddle_quint(
+            np.ascontiguousarray(itw1.transpose(0, 2, 1)))
         self.consts = consts
         self.q_host = np.array(moduli, np.uint32)
         # generic (mu, s1) views for pointwise ops
@@ -409,8 +428,8 @@ class PallasMatmulNttPlan:
 
     def _bb(self, rows: int, target_bytes: int = 256 << 10) -> int:
         """Rows per block: the x block (bb * N bytes) target; the i32
-        partial stack (bb * n1 * NP*128 * 4 = 4 * bb * N) dominates the
-        kernel's VMEM so keep bb * N around 256 KB (~1 MB partials)."""
+        partial stack (bb * n2 * NP*128 * 4) dominates the kernel's
+        VMEM so keep bb * N around 256 KB (~2 MB partials)."""
         row_bytes = self.n * 4
         b = max(1, min(rows, target_bytes // row_bytes))
         while rows % b:
@@ -419,53 +438,33 @@ class PallasMatmulNttPlan:
 
     @functools.partial(jax.jit, static_argnames=("self", "inverse"))
     def _transform(self, x, inverse: bool):
-        """x [rows, k, N] -> [rows, k, N]. Internally k-major; u32 XLA
-        transposes between stages (measured cheap) keep every kernel's
-        contraction bytes adjacent and its c-slices 128-lane aligned."""
+        """x [rows, k, N] -> [rows, k, N]. Two fused kernels, ZERO XLA
+        ops in between: layout moves ride the block index maps (k <->
+        row) and in-kernel tile transposes (n1 <-> n2)."""
         rows, k, n = x.shape
-        n1, n2, dup = self.n1, self.n2, self.dup
+        n1, n2 = self.n1, self.n2
         bb = self._bb(rows)
         interp = _interpret()
-        kr = k * rows
-
-        def i8x(v):
-            # XOR 0x80 per byte (so the Pallas signed dot sees exactly
-            # X - 128), then reinterpret as i8 contraction vectors.
-            return jax.lax.bitcast_convert_type(
-                v ^ jnp.uint32(0x80808080), jnp.int8).reshape(
-                    kr, n1, 512)
-
         consts = jnp.asarray(self.consts)
+        x4 = x.reshape(rows, k, n2, n1)
 
         def mb(pair):
             return jnp.asarray(pair[0]), jnp.asarray(pair[1])
 
         if not inverse:
-            # rows (r, i1), vectors (i2, byte)
-            a = jnp.transpose(x.reshape(rows, k, n2, n1), (1, 0, 3, 2))
-            f1 = _make_stage(n, k, rows, bb, n1, twiddle=True,
-                             interpret=interp)
-            y = f1(consts, i8x(a), *mb(self.s1_m),
-                   *map(jnp.asarray, self.tw_f))    # [kr, i1, j2]
-            # rows (r, j2-group), vectors (d, i1, byte)
-            yt = jnp.transpose(y, (0, 2, 1)).reshape(kr, n1, dup * n1)
-            f2 = _make_stage(n, k, rows, bb, n1, twiddle=False,
-                             interpret=interp)
-            z = f2(consts, i8x(yt), *mb(self.s2_m))  # (j2, j1)
-            return jnp.transpose(z.reshape(k, rows, n), (1, 0, 2))
+            f1 = _make_stage("s1", n, k, rows, bb, n1, interp)
+            y = f1(consts, x4, *mb(self.s1_m),
+                   *map(jnp.asarray, self.tw_f))   # [k, rows, j2, i1]
+            f2 = _make_stage("s2", n, k, rows, bb, n1, interp)
+            z = f2(consts, y, *mb(self.s2_m))      # [rows, k, j2, j1]
+            return z.reshape(rows, k, n)
 
-        # inverse: domain flat (j2*n1 + j1) — dup j2's are contiguous
-        zz = jnp.transpose(x, (1, 0, 2)).reshape(kr, n1, dup * n1)
-        fA = _make_stage(n, k, rows, bb, n1, twiddle=True,
-                         interpret=interp)
-        u = fA(consts, i8x(zz), *mb(self.iA_m),
-               *map(jnp.asarray, self.tw_i))        # flat (j2, i1)
-        ut = jnp.transpose(u.reshape(kr, n2, n1), (0, 2, 1))
-        fB = _make_stage(n, k, rows, bb, n1, twiddle=False,
-                         interpret=interp)
-        v = fB(consts, i8x(ut), *mb(self.iB_m))    # flat (i1, i2)
-        vt = jnp.transpose(v.reshape(kr, n1, n2), (0, 2, 1))
-        return jnp.transpose(vt.reshape(k, rows, n), (1, 0, 2))
+        fA = _make_stage("iA", n, k, rows, bb, n1, interp)
+        u = fA(consts, x4, *mb(self.iA_m),
+               *map(jnp.asarray, self.tw_i))       # [k, rows, j2, i1]
+        fB = _make_stage("iB", n, k, rows, bb, n1, interp)
+        v = fB(consts, u, *mb(self.iB_m))          # [rows, k, i2, i1]
+        return v.reshape(rows, k, n)
 
     def _apply(self, x, inverse: bool):
         x = x.astype(self.word)   # byte split is word-width-dependent
