@@ -166,78 +166,114 @@ def _extract_i8(t, n_rows, kdim):
 # ---------------------------------------------------------------------------
 
 
-def _make_stage(kind: str, n: int, k: int, rows: int, bb: int, n1: int,
-                interpret: bool):
-    """One four-step stage as a single pallas_call; kind selects the
-    dataflow (see module header):
+def _twiddled_reduce(l, mw, q, tw_r, twsh_r, tw32_r, tw32sh_r, tk_r):
+    """t*(y - K) mod q with y = l + m*2^32 unreduced: two Shoups plus
+    the precomputed -t*K term; result in [0, q)."""
+    r = (_norm2q(_shoup2q(l, tw_r[0], twsh_r[0], q), q)
+         + _norm2q(_shoup2q(mw, tw32_r[0], tw32sh_r[0], q), q)
+         + tk_r[0])
+    q2 = q + q
+    r = jnp.where(r >= q2, r - q2, r)
+    return _norm2q(r, q)
 
-      s1: in [rows,k,n2,n1] +transpose, K=4*n2, twiddle, +transpose,
-          out [k,rows,n2,n1]
-      s2: in [k,rows,n2,n1], K=4*n1, out [rows,k,n2,n1]
-      iA: in [rows,k,n2,n1], K=4*n1, twiddle, out [k,rows,n2,n1]
-      iB: in [k,rows,n2,n1] +transpose, K=4*n2, +transpose,
-          out [rows,k,n2,n1]
 
-    Inputs: consts [k, 8] SMEM; x u32; mat [k, K, NP*128] i8; bias
-    [k, 1, NP*128] i32; for twiddled kinds a quint of [k, R, C] u32
-    tables (t, t_sh, t32, t32_sh, tK). Grid (limb, row-block)."""
+def _plain_reduce(l, mw, q, mu, s1c, c32, c32_sh, kc):
+    """(y - K) mod q for unreduced (l, m): one Shoup fold of m, one
+    Barrett on l, plus the per-limb -K mod q constant."""
+    r = (_norm2q(_shoup2q(mw, c32, c32_sh, q), q)
+         + _reduce32(l, q, mu, s1c) + kc)
+    q2 = q + q
+    r = jnp.where(r >= q2, r - q2, r)
+    return _norm2q(r, q)
+
+
+def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
+                    n1: int, interpret: bool):
+    """One FULL four-step transform as a single pallas_call: both
+    stages run back-to-back in one VMEM residency (the intermediate
+    never touches HBM), so a transform costs exactly one HBM read and
+    one write. In/out arrays are [rows, k, n2, n1] u32; the k <-> row
+    reorder rides the block index maps.
+
+      fwd: transpose (i2,i1)->(i1,i2); dot m2 (K=4*n2); psi twiddle
+           (i1,j2); transpose; dot m1 (K=4*n1, cols padded to 128);
+           out flat (j2, j1) == the NTT domain
+      inv: dot im1 (K=4*n1) contracting j1 per j2; inverse twiddle
+           (j2,i1); transpose; dot im2 (K=4*n2, psi^-1/N folded);
+           transpose; out natural (i2, i1)
+
+    Inputs: consts [k, 8] SMEM; x; matA/biasA (first stage); matB/
+    biasB (second stage); twiddle quint [k, ., .] u32. Grid
+    (limb, row-block)."""
     n2 = LANES
     rpb = rows // bb
-    transpose = kind in ("s1", "iB")
-    twiddle = kind in ("s1", "iA")
-    kdim = WB * (n2 if transpose else n1)
-    ncols = NP * LANES
 
-    def kernel(*refs):
-        if twiddle:
-            (consts_r, x_r, m_r, b_r, tw_r, twsh_r, tw32_r, tw32sh_r,
-             tk_r, o_r) = refs
-        else:
-            consts_r, x_r, m_r, b_r, o_r = refs
+    def kernel(consts_r, x_r, ma_r, ba_r, mb_r, bb_r,
+               tw_r, twsh_r, tw32_r, tw32sh_r, tk_r, o_r):
         li = pl.program_id(0)
         q = consts_r[li, 0]
-        if transpose:
-            t = jnp.swapaxes(x_r[:].reshape(bb, n2, n1), 1, 2)
-            nrow = n1
-        else:
-            t = x_r[:].reshape(bb, n2, n1)
-            nrow = n2
-        a8 = _extract_i8(t, bb * nrow, kdim)
-        p = jnp.dot(a8, m_r[0], preferred_element_type=I32)
-        p = (p + b_r[0]).astype(U32)
+        mu = consts_r[li, 1]
+        s1c = consts_r[li, 2]
+        c32 = consts_r[li, 3]
+        c32_sh = consts_r[li, 4]
+        kc = consts_r[li, 5]
+        x = x_r[:].reshape(bb, n2, n1)
+
+        if not inverse:
+            # stage 1: contract i2 for each i1
+            t = jnp.swapaxes(x, 1, 2)                      # [bb,n1,n2]
+            a8 = _extract_i8(t, bb * n1, WB * n2)
+            p = jnp.dot(a8, ma_r[0], preferred_element_type=I32)
+            p = (p + ba_r[0]).astype(U32)
+            l, mw = _assemble_lm(
+                [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+            l = l.reshape(bb, n1, n2)
+            mw = mw.reshape(bb, n1, n2)
+            r1 = _twiddled_reduce(l, mw, q, tw_r, twsh_r, tw32_r,
+                                  tw32sh_r, tk_r)          # (i1, j2)
+            # stage 2: contract i1 for each j2
+            t2 = jnp.swapaxes(r1, 1, 2)                    # [bb,n2,n1]
+            a8b = _extract_i8(t2, bb * n2, WB * n1)
+            p2 = jnp.dot(a8b, mb_r[0], preferred_element_type=I32)
+            p2 = (p2 + bb_r[0]).astype(U32)
+            l2, mw2 = _assemble_lm(
+                [p2[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+            if n1 < LANES:
+                l2 = l2[:, :n1]
+                mw2 = mw2[:, :n1]
+            l2 = l2.reshape(bb, n2, n1)
+            mw2 = mw2.reshape(bb, n2, n1)
+            r2 = _plain_reduce(l2, mw2, q, mu, s1c, c32, c32_sh, kc)
+            o_r[:] = r2.reshape(o_r.shape)                 # (j2, j1)
+            return
+
+        # inverse stage A: contract j1 for each j2
+        a8 = _extract_i8(x, bb * n2, WB * n1)
+        p = jnp.dot(a8, ma_r[0], preferred_element_type=I32)
+        p = (p + ba_r[0]).astype(U32)
         l, mw = _assemble_lm(
             [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
-        if not transpose and n1 < LANES:
-            l = l[:, :n1]       # drop the zero-padded output columns
+        if n1 < LANES:
+            l = l[:, :n1]
             mw = mw[:, :n1]
-        ocols = l.shape[-1]
-        l = l.reshape(bb, nrow, ocols)
-        mw = mw.reshape(bb, nrow, ocols)
-        if twiddle:
-            # t*(y - K) mod q with y = l + m*2^32 unreduced: two
-            # Shoups plus the precomputed -t*K term.
-            r = (_norm2q(_shoup2q(l, tw_r[0], twsh_r[0], q), q)
-                 + _norm2q(_shoup2q(mw, tw32_r[0], tw32sh_r[0], q), q)
-                 + tk_r[0])
-        else:
-            mu = consts_r[li, 1]
-            s1c = consts_r[li, 2]
-            c32 = consts_r[li, 3]
-            c32_sh = consts_r[li, 4]
-            r = (_norm2q(_shoup2q(mw, c32, c32_sh, q), q)
-                 + _reduce32(l, q, mu, s1c) + consts_r[li, 5])
-        q2 = q + q
-        r = jnp.where(r >= q2, r - q2, r)
-        r = _norm2q(r, q)
-        if transpose:
-            r = jnp.swapaxes(r, 1, 2)   # back to (n2-major, n1)
-        o_r[:] = r.reshape(o_r.shape)
+        l = l.reshape(bb, n2, n1)
+        mw = mw.reshape(bb, n2, n1)
+        rA = _twiddled_reduce(l, mw, q, tw_r, twsh_r, tw32_r,
+                              tw32sh_r, tk_r)              # (j2, i1)
+        # inverse stage B: contract j2 for each i1
+        t2 = jnp.swapaxes(rA, 1, 2)                        # [bb,n1,n2]
+        a8b = _extract_i8(t2, bb * n1, WB * n2)
+        p2 = jnp.dot(a8b, mb_r[0], preferred_element_type=I32)
+        p2 = (p2 + bb_r[0]).astype(U32)
+        l2, mw2 = _assemble_lm(
+            [p2[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+        l2 = l2.reshape(bb, n1, n2)
+        mw2 = mw2.reshape(bb, n1, n2)
+        rB = _plain_reduce(l2, mw2, q, mu, s1c, c32, c32_sh, kc)
+        o_r[:] = jnp.swapaxes(rB, 1, 2).reshape(o_r.shape)  # (i2, i1)
 
-    def imap_rk(i, j):      # [rows, k, n2, n1] arrays
+    def imap_rk(i, j):
         return (j, i, jnp.int32(0), jnp.int32(0))
-
-    def imap_kr(i, j):      # [k, rows, n2, n1] arrays
-        return (i, j, jnp.int32(0), jnp.int32(0))
 
     def imap_limb(i, j):
         return (i, jnp.int32(0), jnp.int32(0))
@@ -245,33 +281,29 @@ def _make_stage(kind: str, n: int, k: int, rows: int, bb: int, n1: int,
     def imap_consts(i, j):
         return (jnp.int32(0), jnp.int32(0))
 
-    in_rk = kind in ("s1", "iA")
-    out_rk = kind in ("s2", "iB")
-    x_spec = pl.BlockSpec(
-        (bb, 1, n2, n1) if in_rk else (1, bb, n2, n1),
-        imap_rk if in_rk else imap_kr, memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec(
-        (bb, 1, n2, n1) if out_rk else (1, bb, n2, n1),
-        imap_rk if out_rk else imap_kr, memory_space=pltpu.VMEM)
-    o_shape = ((rows, k, n2, n1) if out_rk else (k, rows, n2, n1))
-
-    in_specs = [pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
-                x_spec,
-                pl.BlockSpec((1, kdim, ncols), imap_limb,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, ncols), imap_limb,
-                             memory_space=pltpu.VMEM)]
-    if twiddle:
-        trows = n1 if kind == "s1" else n2
-        tcols = n2 if kind == "s1" else n1
-        in_specs += [pl.BlockSpec((1, trows, tcols), imap_limb,
-                                  memory_space=pltpu.VMEM)] * 5
+    ka = WB * (n2 if not inverse else n1)
+    kb = WB * (n1 if not inverse else n2)
+    ncols = NP * LANES
+    if not inverse:
+        trows, tcols = n1, n2
+    else:
+        trows, tcols = n2, n1
+    in_specs = [
+        pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, 1, n2, n1), imap_rk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ka, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kb, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, trows, tcols), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5
     return pl.pallas_call(
         kernel,
         grid=(k, rpb),
         in_specs=in_specs,
-        out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct(o_shape, U32),
+        out_specs=pl.BlockSpec((bb, 1, n2, n1), imap_rk,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, k, n2, n1), U32),
         interpret=interpret,
     )
 
@@ -426,10 +458,18 @@ class PallasMatmulNttPlan:
 
     # -- stage dispatch ------------------------------------------------------
 
-    def _bb(self, rows: int, target_bytes: int = 256 << 10) -> int:
+    def _bb(self, rows: int, target_bytes: int | None = None) -> int:
         """Rows per block: the x block (bb * N bytes) target; the i32
-        partial stack (bb * n2 * NP*128 * 4) dominates the kernel's
-        VMEM so keep bb * N around 256 KB (~2 MB partials)."""
+        partial stacks (~12 * bb * N bytes total) dominate the
+        kernel's VMEM so keep bb * N around 256 KB. Override with
+        SUNSCREEN_TPU_PMNTT_BB for tuning."""
+        import os
+        if target_bytes is None:
+            # 1 MB (bb=32 at N=8192) measured fastest on the v5e; 2 MB
+            # exceeds the 16 MB scoped-vmem limit (both stages' partial
+            # stacks live simultaneously)
+            target_bytes = int(os.environ.get(
+                "SUNSCREEN_TPU_PMNTT_BB_KB", "1024")) << 10
         row_bytes = self.n * 4
         b = max(1, min(rows, target_bytes // row_bytes))
         while rows % b:
@@ -438,9 +478,10 @@ class PallasMatmulNttPlan:
 
     @functools.partial(jax.jit, static_argnames=("self", "inverse"))
     def _transform(self, x, inverse: bool):
-        """x [rows, k, N] -> [rows, k, N]. Two fused kernels, ZERO XLA
-        ops in between: layout moves ride the block index maps (k <->
-        row) and in-kernel tile transposes (n1 <-> n2)."""
+        """x [rows, k, N] -> [rows, k, N]. ONE fused kernel for the
+        whole transform: both stages share a VMEM residency, so the
+        cost is a single HBM read + write. Layout moves ride the block
+        index maps (k <-> row) and in-kernel tile transposes."""
         rows, k, n = x.shape
         n1, n2 = self.n1, self.n2
         bb = self._bb(rows)
@@ -452,18 +493,14 @@ class PallasMatmulNttPlan:
             return jnp.asarray(pair[0]), jnp.asarray(pair[1])
 
         if not inverse:
-            f1 = _make_stage("s1", n, k, rows, bb, n1, interp)
-            y = f1(consts, x4, *mb(self.s1_m),
-                   *map(jnp.asarray, self.tw_f))   # [k, rows, j2, i1]
-            f2 = _make_stage("s2", n, k, rows, bb, n1, interp)
-            z = f2(consts, y, *mb(self.s2_m))      # [rows, k, j2, j1]
+            f = _make_transform(False, n, k, rows, bb, n1, interp)
+            z = f(consts, x4, *mb(self.s1_m), *mb(self.s2_m),
+                  *map(jnp.asarray, self.tw_f))    # [rows, k, j2, j1]
             return z.reshape(rows, k, n)
 
-        fA = _make_stage("iA", n, k, rows, bb, n1, interp)
-        u = fA(consts, x4, *mb(self.iA_m),
-               *map(jnp.asarray, self.tw_i))       # [k, rows, j2, i1]
-        fB = _make_stage("iB", n, k, rows, bb, n1, interp)
-        v = fB(consts, u, *mb(self.iB_m))          # [rows, k, i2, i1]
+        f = _make_transform(True, n, k, rows, bb, n1, interp)
+        v = f(consts, x4, *mb(self.iA_m), *mb(self.iB_m),
+              *map(jnp.asarray, self.tw_i))        # [rows, k, i2, i1]
         return v.reshape(rows, k, n)
 
     def _apply(self, x, inverse: bool):
