@@ -53,23 +53,19 @@ bench("fwd", plan.fwd, x)
 bench("inv", plan.inv, x)
 bench("fwd+inv", lambda v: plan.inv(plan.fwd(v)), x)
 
-# stage kernels alone (v4 fused stages; input pre-laid-out)
+# merged transform kernels alone (input pre-laid-out)
 kr = K * rows
 bb = plan._bb(rows)
 x4 = jnp.asarray(rng.integers(0, min(mods), (rows, K, n2, n1)),
-                 jnp.uint32)
-y4 = jnp.asarray(rng.integers(0, min(mods), (K, rows, n2, n1)),
                  jnp.uint32)
 consts = jnp.asarray(plan.consts)
 s1_m, s1_b = map(jnp.asarray, plan.s1_m)
 s2_m, s2_b = map(jnp.asarray, plan.s2_m)
 twf = tuple(map(jnp.asarray, plan.tw_f))
 
-f1 = pmntt._make_stage("s1", N, K, rows, bb, n1, interpret=False)
-f2 = pmntt._make_stage("s2", N, K, rows, bb, n1, interpret=False)
-bench("stage s1 (transpose+twiddle)",
-      lambda v: f1(consts, v, s1_m, s1_b, *twf), x4)
-bench("stage s2 (plain)", lambda v: f2(consts, v, s2_m, s2_b), y4)
+ff = pmntt._make_transform(False, N, K, rows, bb, n1, interpret=False)
+bench("merged fwd kernel",
+      lambda v: ff(consts, v, s1_m, s1_b, s2_m, s2_b, *twf), x4)
 
 
 # dot-only kernel: the s1 dot shape with no recombine/transpose

@@ -292,14 +292,11 @@ def multiply(ctx: BfvContext, a, b):
     convolution, iNTT, exact scale-and-round into B, centered convert
     B->Q."""
     na, nb = a.shape[-3], b.shape[-3]
-    # centered extension to the aux base, stack to the multiply base Q∪B
-    def extend(x):
-        aux = ctx.conv_q_to_aux.convert(x, centered=True)
-        return jnp.concatenate([x, aux], axis=-2)
-    # ONE batched forward transform over both operands' components
-    # (better MXU/VPU utilization than per-operand calls)
-    both = ctx.plan_mul.fwd(
-        jnp.concatenate([extend(a), extend(b)], axis=-3))
+    # ONE batched centered extension Q -> Q∪B over both operands'
+    # components (the fused kernel copies the source limbs through, so
+    # there is no concat pass), then ONE batched forward transform
+    both = ctx.plan_mul.fwd(ctx.conv_q_to_aux.extend(
+        jnp.concatenate([a, b], axis=-3), centered=True))
     a_hat = both[..., :na, :, :]
     b_hat = both[..., na:, :, :]
     km = ctx.mul_base.k
@@ -345,12 +342,12 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
         # the fused MXU plan is exact for ANY u32 input (its byte-dot
         # bound covers 2^32-wide values) and the NTT is linear mod each
         # key modulus, so the raw digit broadcast IS the extension —
-        # the per-modulus Barrett pass is free to skip
-        ext = jnp.broadcast_to(d[..., :, None, :],
-                               (*d.shape[:-1], kk, d.shape[-1]))
+        # and fwd_broadcast reads each digit once per limb via the
+        # block index map, never materializing the broadcast in HBM
+        d_hat = ctx.plan_key.fwd_broadcast(d)
     else:
-        ext = m.w_reduce(d[..., :, None, :], qk, c0, c1)
-    d_hat = ctx.plan_key.fwd(ext)
+        d_hat = ctx.plan_key.fwd(m.w_reduce(d[..., :, None, :], qk,
+                                            c0, c1))
     # inner products with the key rows: sum over the digit axis (u64
     # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32
     # engine: widened sums) + one reduction — residues are identical to
@@ -358,17 +355,17 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     fused = (_fused_pointwise("ks", ctx.key_base.moduli)
              if d_hat.dtype == m.U32 else None)
     if fused is not None:
-        acc0, acc1 = fused(d_hat, ksw.k0, ksw.k1)
+        acc = fused(d_hat, ksw.k0, ksw.k1)   # [..., 2, kk, N] stacked
     else:
         t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
         t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
-        acc0 = m.w_sum_reduce(t0, qk, c0, c1, axis=-3)
-        acc1 = m.w_sum_reduce(t1, qk, c0, c1, axis=-3)
-    both = ctx.plan_key.inv(jnp.stack([acc0, acc1], axis=-3))
-    u0 = both[..., 0, :, :]
-    u1 = both[..., 1, :, :]
-    return (ctx.mod_down.apply(u0[..., :ctx.k, :], u0[..., ctx.k, :]),
-            ctx.mod_down.apply(u1[..., :ctx.k, :], u1[..., ctx.k, :]))
+        acc = jnp.stack([m.w_sum_reduce(t0, qk, c0, c1, axis=-3),
+                         m.w_sum_reduce(t1, qk, c0, c1, axis=-3)],
+                        axis=-3)
+    both = ctx.plan_key.inv(acc)
+    # ONE batched mod-down over both key components
+    u = ctx.mod_down.apply(both[..., :ctx.k, :], both[..., ctx.k, :])
+    return (u[..., 0, :, :], u[..., 1, :, :])
 
 
 def relinearize(ctx: BfvContext, ct, rlk: KswKey):

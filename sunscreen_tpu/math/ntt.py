@@ -54,7 +54,10 @@ def resolve_mode(mode: str | None = None) -> str:
         return env
     if COMPACT_NTT:
         return "compact"
-    return "matmul" if jax.default_backend() != "cpu" else "unrolled"
+    # TPU default is the fused Pallas plan (fastest AND quickest
+    # compiles as of round 3); get_plan degrades it to matmul/unrolled
+    # automatically outside its envelope (u64 moduli, tiny N/t-rings)
+    return "pallas" if jax.default_backend() != "cpu" else "unrolled"
 
 
 def _bit_reverse(x: int, bits: int) -> int:

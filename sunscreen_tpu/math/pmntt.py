@@ -188,7 +188,7 @@ def _plain_reduce(l, mw, q, mu, s1c, c32, c32_sh, kc):
 
 
 def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
-                    n1: int, interpret: bool):
+                    n1: int, interpret: bool, broadcast: bool = False):
     """One FULL four-step transform as a single pallas_call: both
     stages run back-to-back in one VMEM residency (the intermediate
     never touches HBM), so a transform costs exactly one HBM read and
@@ -275,6 +275,12 @@ def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
     def imap_rk(i, j):
         return (j, i, jnp.int32(0), jnp.int32(0))
 
+    def imap_rk_bcast(i, j):
+        # broadcast mode: every limb reads the SAME single-limb input
+        # block (keyswitch raw digits — the materialized k-fold
+        # broadcast never exists in HBM)
+        return (j, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
     def imap_limb(i, j):
         return (i, jnp.int32(0), jnp.int32(0))
 
@@ -290,7 +296,9 @@ def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
         trows, tcols = n2, n1
     in_specs = [
         pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
-        pl.BlockSpec((bb, 1, n2, n1), imap_rk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, n2, n1),
+                     imap_rk_bcast if broadcast else imap_rk,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ka, ncols), imap_limb, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, kb, ncols), imap_limb, memory_space=pltpu.VMEM),
@@ -516,6 +524,33 @@ class PallasMatmulNttPlan:
     def fwd(self, x):
         """[..., k, N] coefficients -> NTT domain (flat (j2, j1))."""
         return self._apply(x, inverse=False)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _transform_broadcast(self, x):
+        rows, n = x.shape
+        n1, n2 = self.n1, self.n2
+        k = len(self.moduli)
+        bb = self._bb(rows)
+        f = _make_transform(False, n, k, rows, bb, n1, _interpret(),
+                            broadcast=True)
+        z = f(jnp.asarray(self.consts), x.reshape(rows, 1, n2, n1),
+              *(jnp.asarray(t) for t in self.s1_m),
+              *(jnp.asarray(t) for t in self.s2_m),
+              *map(jnp.asarray, self.tw_f))
+        return z.reshape(rows, k, n)
+
+    def fwd_broadcast(self, x):
+        """[..., N] u32 (ONE poly per row, any u32 values) ->
+        [..., k, N]: forward-transforms the SAME coefficients under
+        every limb modulus without ever materializing the k-fold
+        broadcast in HBM (keyswitch raw-digit path)."""
+        x = x.astype(self.word)
+        lead = x.shape[:-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        out = self._transform_broadcast(x.reshape(rows, self.n))
+        return out.reshape(*lead, len(self.moduli), self.n)
 
     def inv(self, x):
         """NTT domain -> [..., k, N] natural coefficient order."""

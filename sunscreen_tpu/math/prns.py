@@ -92,16 +92,21 @@ def _addc(acc_hi, acc_lo, lo):
 
 
 def _rns_kernel(ks: int, kd: int, mode: str, centered: bool,
-                nb: int):
+                nb: int, include_src: bool = False):
     """Kernel body. SMEM refs:
     src_c [ks, 8]:  q, inv_punc, inv_punc_sh, fp0..fp3 (LSW first), 0
     dst_c [kd, 8]:  d, mu, s1, c32, c32_sh, w0 (=c_mod_d | 0), w0_sh, 0
     mat   [ks, 2*kd]: theta/omega then their shoup ratios
-    x block [1, ks, nb] u32 -> out [1, kd, nb] u32.
+    x block [1, ks, nb] u32 -> out [1, kd, nb] u32 (include_src:
+    [1, ks+kd, nb] with the raw source limbs copied through first —
+    saves the XLA concat pass in base-extension).
     mode: 'convert' (corr = -alpha * c_mod_d) or 'scale' (corr = +r).
     """
 
     def kernel(src_r, dst_r, mat_r, x_r, o_r):
+        if include_src:
+            for i in range(ks):
+                o_r[0, i] = x_r[0, i]
         # normalize: y_i = x_i * inv_punc_i mod q_i
         ys = []
         for i in range(ks):
@@ -163,7 +168,7 @@ def _rns_kernel(ks: int, kd: int, mode: str, centered: bool,
                 rint = _reduce64(int_hi, int_lo, d, mu, s1, c32,
                                  c32_sh)
                 r = _norm2q(acc + rint, d)
-            o_r[0, j] = r
+            o_r[0, (ks + j) if include_src else j] = r
 
     return kernel
 
@@ -228,9 +233,11 @@ class FusedRnsOp:
                                   np.asarray(fp_lo, np.uint64))
         return src_c
 
-    @partial(jax.jit, static_argnames=("self",))
-    def __call__(self, x):
-        """x [..., ks, N] u32 -> [..., kd, N] u32."""
+    @partial(jax.jit, static_argnames=("self", "include_src"))
+    def __call__(self, x, include_src: bool = False):
+        """x [..., ks, N] u32 -> [..., kd, N] u32; include_src ->
+        [..., ks+kd, N] with the raw source limbs first (the fused
+        base-extension output, no XLA concat)."""
         lead = x.shape[:-2]
         n = x.shape[-1]
         rows = 1
@@ -241,7 +248,8 @@ class FusedRnsOp:
         assert n % nb == 0
         interp = jax.default_backend() == "cpu"
         kern = _rns_kernel(self.ks, self.kd, self.mode, self.centered,
-                           nb)
+                           nb, include_src)
+        ko = self.ks + self.kd if include_src else self.kd
 
         def imap_x(r, c):
             return (r, jnp.int32(0), c)
@@ -262,13 +270,13 @@ class FusedRnsOp:
                 pl.BlockSpec((1, self.ks, nb), imap_x,
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, self.kd, nb), imap_x,
+            out_specs=pl.BlockSpec((1, ko, nb), imap_x,
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((rows, self.kd, n), U32),
+            out_shape=jax.ShapeDtypeStruct((rows, ko, n), U32),
             interpret=interp,
         )(jnp.asarray(self.src_c), jnp.asarray(self.dst_c),
           jnp.asarray(self.mat), xr)
-        return out.reshape(*lead, self.kd, n)
+        return out.reshape(*lead, ko, n)
 
 
 def _mod_consts(moduli) -> np.ndarray:
@@ -360,7 +368,8 @@ class FusedKsInner:
     @partial(jax.jit, static_argnames=("self",))
     def __call__(self, d_hat, k0, k1):
         """d_hat: [..., k, kk, N]; k0/k1: [k, kk, N] ->
-        (acc0, acc1) [..., kk, N]."""
+        [..., 2, kk, N] (both key components stacked in ONE output, so
+        the downstream inverse NTT needs no XLA stack pass)."""
         lead = d_hat.shape[:-3]
         kdig = d_hat.shape[-3]
         n = d_hat.shape[-1]
@@ -372,18 +381,18 @@ class FusedKsInner:
         nb = min(_NB, n)
         assert n % nb == 0
 
-        def kernel(c_r, d_r, k0_r, k1_r, o0_r, o1_r):
+        def kernel(c_r, d_r, k0_r, k1_r, o_r):
             for j in range(kk):
                 q = c_r[j, 0]
                 cs = tuple(c_r[j, i] for i in range(1, 5))
-                for kr, orf in ((k0_r, o0_r), (k1_r, o1_r)):
+                for comp, kr in ((0, k0_r), (1, k1_r)):
                     ahi = jnp.zeros((nb,), U32)
                     alo = jnp.zeros((nb,), U32)
                     for i in range(kdig):
                         hi, lo = _mul32(d_r[0, i, j], kr[i, j])
                         ahi, alo = _addc(ahi, alo, lo)
                         ahi = ahi + hi
-                    orf[0, j] = _reduce64(ahi, alo, q, *cs)
+                    o_r[0, comp, j] = _reduce64(ahi, alo, q, *cs)
 
         def imap_d(r, c):
             return (r, jnp.int32(0), jnp.int32(0), c)
@@ -391,13 +400,10 @@ class FusedKsInner:
         def imap_key(r, c):
             return (jnp.int32(0), jnp.int32(0), c)
 
-        def imap_o(r, c):
-            return (r, jnp.int32(0), c)
-
         def imap_const(r, c):
             return (jnp.int32(0), jnp.int32(0))
 
-        o0, o1 = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(rows, n // nb),
             in_specs=[
@@ -410,19 +416,12 @@ class FusedKsInner:
                 pl.BlockSpec((kdig, kk, nb), imap_key,
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((1, kk, nb), imap_o,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kk, nb), imap_o,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((rows, kk, n), U32),
-                jax.ShapeDtypeStruct((rows, kk, n), U32),
-            ],
+            out_specs=pl.BlockSpec((1, 2, kk, nb), imap_d,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, 2, kk, n), U32),
             interpret=jax.default_backend() == "cpu",
         )(jnp.asarray(self.consts), dr, k0, k1)
-        return (o0.reshape(*lead, kk, n), o1.reshape(*lead, kk, n))
+        return out.reshape(*lead, 2, kk, n)
 
 
 class FusedModDown:

@@ -228,6 +228,17 @@ class BaseConverter:
             self._fused_op = prns.fused_converter(self)
         return self._fused_op
 
+    def extend(self, x, centered: bool = True):
+        """x: [..., k_src, N] -> [..., k_src + k_dst, N]: the source
+        limbs followed by the converted ones (base extension). On the
+        fused path the copy rides the kernel write — no XLA concat."""
+        if centered and x.dtype == m.U32:
+            fused = self._fused()
+            if fused is not None:
+                return fused(x, include_src=True)
+        return jnp.concatenate([x, self.convert(x, centered=centered)],
+                               axis=-2)
+
     def convert(self, x, centered: bool = False):
         """x: [..., k_src, N] -> [..., k_dst, N]."""
         src, dst = self.src, self.dst

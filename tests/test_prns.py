@@ -116,8 +116,9 @@ def test_fused_ks_inner(ctx):
                                       dtype=np.uint32)
         k0[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
         k1[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
-    got0, got1 = prns.FusedKsInner(mods)(
+    acc = prns.FusedKsInner(mods)(
         jnp.asarray(d_hat), jnp.asarray(k0), jnp.asarray(k1))
+    got0, got1 = acc[..., 0, :, :], acc[..., 1, :, :]
     # python-int oracle
     for j, q in enumerate(mods):
         for col in (0, 1, n - 1):
