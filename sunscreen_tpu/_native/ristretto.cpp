@@ -394,15 +394,51 @@ static void ge_scalarmul(ge &r, const ge &p, const uint8_t *scalar) {
 
 extern "C" {
 
-// out(128B) = sum_i scalars[i] * points[i]; Pippenger bucket method.
+// out(128B) = sum_i scalars[i] * points[i]; Pippenger bucket method
+// with signed-digit window recoding and a size-adaptive window: digits
+// d in [-2^(C-1), 2^(C-1)] halve the bucket count (point negation is
+// free: (-X, Y, Z, -T)), and C grows with n so the per-window bucket
+// reduction amortizes — total adds ~ (253/C) * (n + 2^C) instead of
+// the fixed C=6 cost (2.2x fewer at the SDLP l~3e5 sizes).
 void ristretto_msm(const uint8_t *scalars, const uint8_t *points,
                    long n, uint8_t *out) {
   ge_init_constants();
-  const int C = 6;  // window bits
-  const int WINDOWS = (253 + C - 1) / C;
-  const int NBUCKETS = (1 << C) - 1;
+  int C = 6;  // window bits
+  {  // pick C minimizing (253/C) * (n + 2^C), C in [6, 14]
+    double best = 1e30;
+    for (int c = 6; c <= 14; c++) {
+      double cost = (253.0 / c) * ((double)n + (double)(1 << c));
+      if (cost < best) { best = cost; C = c; }
+    }
+  }
+  const int WINDOWS = (253 + C - 1) / C + 1;  // +1: recoding carry
+  const int NBUCKETS = 1 << (C - 1);          // digits 1 .. 2^(C-1)
   ge *pts = new ge[n];
   for (long i = 0; i < n; i++) ge_frombytes(pts[i], points + 128 * i);
+  // signed-digit recoding of every scalar, least-significant first
+  int16_t *digits = new int16_t[(size_t)n * WINDOWS];
+  const int half = 1 << (C - 1);
+  for (long i = 0; i < n; i++) {
+    int carry = 0;
+    for (int w = 0; w < WINDOWS; w++) {
+      int bit0 = w * C;
+      unsigned int v = 0;
+      int word = bit0 / 8, shift = bit0 % 8;
+      if (word < 32) {
+        v = scalars[32 * i + word];
+        if (word + 1 < 32)
+          v |= (unsigned int)scalars[32 * i + word + 1] << 8;
+        if (word + 2 < 32)
+          v |= (unsigned int)scalars[32 * i + word + 2] << 16;
+        v = (v >> shift) & ((1u << C) - 1);
+      }
+      int d = (int)v + carry;
+      if (d > half) { d -= (1 << C); carry = 1; } else carry = 0;
+      digits[(size_t)i * WINDOWS + w] = (int16_t)d;
+    }
+    // scalars are < L < 2^253 and the top window has headroom, so the
+    // final carry is absorbed by the extra window
+  }
   ge acc;
   ge_identity(acc);
   ge *buckets = new ge[NBUCKETS];
@@ -411,23 +447,28 @@ void ristretto_msm(const uint8_t *scalars, const uint8_t *points,
     if (w != WINDOWS - 1)
       for (int b = 0; b < C; b++) ge_double(acc, acc);
     for (int b = 0; b < NBUCKETS; b++) used[b] = false;
-    int bit0 = w * C;
+    bool nonzero = false;
     for (long i = 0; i < n; i++) {
-      // extract C bits starting at bit0 from scalar i
-      int word = bit0 / 8, shift = bit0 % 8;
-      unsigned int v = scalars[32 * i + word];
-      if (word + 1 < 32) v |= (unsigned int)scalars[32 * i + word + 1] << 8;
-      if (word + 2 < 32) v |= (unsigned int)scalars[32 * i + word + 2] << 16;
-      v = (v >> shift) & ((1u << C) - 1);
-      if (!v) continue;
-      int b = (int)v - 1;
-      if (used[b]) {
-        ge_add(buckets[b], buckets[b], pts[i]);
+      int d = digits[(size_t)i * WINDOWS + w];
+      if (!d) continue;
+      nonzero = true;
+      int b;
+      ge p = pts[i];
+      if (d > 0) {
+        b = d - 1;
       } else {
-        buckets[b] = pts[i];
+        b = -d - 1;
+        fe_neg(p.X, p.X);   // negated point: (-X, Y, Z, -T)
+        fe_neg(p.T, p.T);
+      }
+      if (used[b]) {
+        ge_add(buckets[b], buckets[b], p);
+      } else {
+        buckets[b] = p;
         used[b] = true;
       }
     }
+    if (!nonzero) continue;
     ge sum, running;
     ge_identity(sum);
     ge_identity(running);
@@ -445,6 +486,7 @@ void ristretto_msm(const uint8_t *scalars, const uint8_t *points,
   }
   ge_tobytes(out, acc);
   delete[] pts;
+  delete[] digits;
   delete[] buckets;
   delete[] used;
 }

@@ -46,6 +46,31 @@ def _fused_pointwise(kind: str, moduli: tuple[int, ...]):
         _FUSED_CACHE[key] = cls(moduli)
     return _FUSED_CACHE[key]
 
+
+def _plan_fused(ctx, plan) -> bool:
+    """True when the plan's fused-inverse kernels (convolution /
+    keyswitch prologues riding the inverse transform) should run:
+    pallas NTT mode, unless SUNSCREEN_TPU_FUSED_RNS=0 opts out of all
+    fused pipelines."""
+    import os
+    return (getattr(plan, "mode", "") == "pallas"
+            and os.environ.get("SUNSCREEN_TPU_FUSED_RNS") != "0")
+
+
+def _scale_convert(ctx, tensor):
+    """round(t * tensor / Q) mapped into base Q: one chained Pallas
+    kernel on the TPU u32 path, else the two-stage XLA pipeline."""
+    import os
+    if (tensor.dtype == m.U32 and jax.default_backend() == "tpu"
+            and os.environ.get("SUNSCREEN_TPU_FUSED_RNS") != "0"):
+        if not hasattr(ctx, "_fused_scale_convert_op"):
+            from sunscreen_tpu.math import prns
+            ctx._fused_scale_convert_op = prns.FusedScaleConvert(
+                ctx.scale_mul_to_aux, ctx.conv_aux_to_q)
+        return ctx._fused_scale_convert_op(tensor)
+    scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
+    return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
+
 U64 = jnp.uint64
 
 
@@ -301,12 +326,17 @@ def multiply(ctx: BfvContext, a, b):
     b_hat = both[..., na:, :, :]
     km = ctx.mul_base.k
     qm = ctx.mul_base.q_dev.reshape(km, 1)
+    if (na == 2 and nb == 2 and a_hat.dtype == m.U32
+            and _plan_fused(ctx, ctx.plan_mul)):
+        # component convolution fused INTO the inverse transform — the
+        # NTT-domain tensor never round-trips HBM
+        tensor = ctx.plan_mul.inv_tensor3(a_hat, b_hat)
+        return _scale_convert(ctx, tensor)
     fused = (_fused_pointwise("tensor3", ctx.mul_base.moduli)
              if na == 2 and nb == 2 and a_hat.dtype == m.U32 else None)
     if fused is not None:
         tensor = ctx.plan_mul.inv(fused(a_hat, b_hat))
-        scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
-        return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
+        return _scale_convert(ctx, tensor)
     outs = []
     for j in range(na + nb - 1):
         # sum the (< nb) cross terms in plain u64 then reduce once:
@@ -323,8 +353,7 @@ def multiply(ctx: BfvContext, a, b):
             acc, qm, ctx.mul_base.c0_dev.reshape(km, 1),
             ctx.mul_base.c1_dev.reshape(km, 1)))
     tensor = ctx.plan_mul.inv(jnp.stack(outs, axis=-3))
-    scaled_aux = ctx.scale_mul_to_aux.apply(tensor)
-    return ctx.conv_aux_to_q.convert(scaled_aux, centered=True)
+    return _scale_convert(ctx, tensor)
 
 
 def keyswitch(ctx: BfvContext, d, ksw: KswKey):
@@ -352,17 +381,23 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32
     # engine: widened sums) + one reduction — residues are identical to
     # the add_mod chain (bit-exact)
-    fused = (_fused_pointwise("ks", ctx.key_base.moduli)
-             if d_hat.dtype == m.U32 else None)
-    if fused is not None:
-        acc = fused(d_hat, ksw.k0, ksw.k1)   # [..., 2, kk, N] stacked
+    if d_hat.dtype == m.U32 and _plan_fused(ctx, ctx.plan_key):
+        # digit contraction fused INTO the inverse transform of both
+        # key components — the inner-product intermediate never
+        # round-trips HBM
+        both = ctx.plan_key.inv_ks(d_hat, ksw.k0, ksw.k1)
     else:
-        t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
-        t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
-        acc = jnp.stack([m.w_sum_reduce(t0, qk, c0, c1, axis=-3),
-                         m.w_sum_reduce(t1, qk, c0, c1, axis=-3)],
-                        axis=-3)
-    both = ctx.plan_key.inv(acc)
+        fused = (_fused_pointwise("ks", ctx.key_base.moduli)
+                 if d_hat.dtype == m.U32 else None)
+        if fused is not None:
+            acc = fused(d_hat, ksw.k0, ksw.k1)  # [..., 2, kk, N]
+        else:
+            t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
+            t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
+            acc = jnp.stack([m.w_sum_reduce(t0, qk, c0, c1, axis=-3),
+                             m.w_sum_reduce(t1, qk, c0, c1, axis=-3)],
+                            axis=-3)
+        both = ctx.plan_key.inv(acc)
     # ONE batched mod-down over both key components
     u = ctx.mod_down.apply(both[..., :ctx.k, :], both[..., ctx.k, :])
     return (u[..., 0, :, :], u[..., 1, :, :])

@@ -86,6 +86,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sunscreen_tpu.math import modular as m
 from sunscreen_tpu.math import primes
 from sunscreen_tpu.math.mntt import _vandermonde
+from sunscreen_tpu.math.prns import _addc, _mul32, _reduce64
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -166,12 +167,12 @@ def _extract_i8(t, n_rows, kdim):
 # ---------------------------------------------------------------------------
 
 
-def _twiddled_reduce(l, mw, q, tw_r, twsh_r, tw32_r, tw32sh_r, tk_r):
+def _twiddled_reduce(l, mw, q, tw, twsh, tw32, tw32sh, tk):
     """t*(y - K) mod q with y = l + m*2^32 unreduced: two Shoups plus
     the precomputed -t*K term; result in [0, q)."""
-    r = (_norm2q(_shoup2q(l, tw_r[0], twsh_r[0], q), q)
-         + _norm2q(_shoup2q(mw, tw32_r[0], tw32sh_r[0], q), q)
-         + tk_r[0])
+    r = (_norm2q(_shoup2q(l, tw, twsh, q), q)
+         + _norm2q(_shoup2q(mw, tw32, tw32sh, q), q)
+         + tk)
     q2 = q + q
     r = jnp.where(r >= q2, r - q2, r)
     return _norm2q(r, q)
@@ -185,6 +186,36 @@ def _plain_reduce(l, mw, q, mu, s1c, c32, c32_sh, kc):
     q2 = q + q
     r = jnp.where(r >= q2, r - q2, r)
     return _norm2q(r, q)
+
+
+def _inv_core(x, bb, n1, n2, cv, ma, ba, mb, bbias, tws):
+    """Inverse four-step transform of ONE [bb, n2(j2), n1(j1)] NTT-domain
+    tile to natural order [bb, n2(i2), n1(i1)] — the traced body shared
+    by the plain inverse kernel and the fused tensor/keyswitch inverse
+    kernels. cv = (q, mu, s1c, c32, c32_sh, kc); tws = the 5 inverse
+    mid-twiddle tables [n2, n1]."""
+    q, mu, s1c, c32, c32_sh, kc = cv
+    a8 = _extract_i8(x, bb * n2, WB * n1)
+    p = jnp.dot(a8, ma, preferred_element_type=I32)
+    p = (p + ba).astype(U32)
+    l, mw = _assemble_lm(
+        [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+    if n1 < LANES:
+        l = l[:, :n1]
+        mw = mw[:, :n1]
+    l = l.reshape(bb, n2, n1)
+    mw = mw.reshape(bb, n2, n1)
+    rA = _twiddled_reduce(l, mw, q, *tws)               # (j2, i1)
+    t2 = jnp.swapaxes(rA, 1, 2)                        # [bb,n1,n2]
+    a8b = _extract_i8(t2, bb * n1, WB * n2)
+    p2 = jnp.dot(a8b, mb, preferred_element_type=I32)
+    p2 = (p2 + bbias).astype(U32)
+    l2, mw2 = _assemble_lm(
+        [p2[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+    l2 = l2.reshape(bb, n1, n2)
+    mw2 = mw2.reshape(bb, n1, n2)
+    rB = _plain_reduce(l2, mw2, q, mu, s1c, c32, c32_sh, kc)
+    return jnp.swapaxes(rB, 1, 2)                      # (i2, i1)
 
 
 def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
@@ -229,8 +260,9 @@ def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
                 [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
             l = l.reshape(bb, n1, n2)
             mw = mw.reshape(bb, n1, n2)
-            r1 = _twiddled_reduce(l, mw, q, tw_r, twsh_r, tw32_r,
-                                  tw32sh_r, tk_r)          # (i1, j2)
+            r1 = _twiddled_reduce(l, mw, q, tw_r[0], twsh_r[0],
+                                  tw32_r[0], tw32sh_r[0],
+                                  tk_r[0])                 # (i1, j2)
             # stage 2: contract i1 for each j2
             t2 = jnp.swapaxes(r1, 1, 2)                    # [bb,n2,n1]
             a8b = _extract_i8(t2, bb * n2, WB * n1)
@@ -247,30 +279,12 @@ def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
             o_r[:] = r2.reshape(o_r.shape)                 # (j2, j1)
             return
 
-        # inverse stage A: contract j1 for each j2
-        a8 = _extract_i8(x, bb * n2, WB * n1)
-        p = jnp.dot(a8, ma_r[0], preferred_element_type=I32)
-        p = (p + ba_r[0]).astype(U32)
-        l, mw = _assemble_lm(
-            [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
-        if n1 < LANES:
-            l = l[:, :n1]
-            mw = mw[:, :n1]
-        l = l.reshape(bb, n2, n1)
-        mw = mw.reshape(bb, n2, n1)
-        rA = _twiddled_reduce(l, mw, q, tw_r, twsh_r, tw32_r,
-                              tw32sh_r, tk_r)              # (j2, i1)
-        # inverse stage B: contract j2 for each i1
-        t2 = jnp.swapaxes(rA, 1, 2)                        # [bb,n1,n2]
-        a8b = _extract_i8(t2, bb * n1, WB * n2)
-        p2 = jnp.dot(a8b, mb_r[0], preferred_element_type=I32)
-        p2 = (p2 + bb_r[0]).astype(U32)
-        l2, mw2 = _assemble_lm(
-            [p2[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
-        l2 = l2.reshape(bb, n1, n2)
-        mw2 = mw2.reshape(bb, n1, n2)
-        rB = _plain_reduce(l2, mw2, q, mu, s1c, c32, c32_sh, kc)
-        o_r[:] = jnp.swapaxes(rB, 1, 2).reshape(o_r.shape)  # (i2, i1)
+        # inverse: both stages via the shared core
+        o_r[:] = _inv_core(
+            x, bb, n1, n2, (q, mu, s1c, c32, c32_sh, kc),
+            ma_r[0], ba_r[0], mb_r[0], bb_r[0],
+            (tw_r[0], twsh_r[0], tw32_r[0], tw32sh_r[0], tk_r[0]),
+        ).reshape(o_r.shape)
 
     def imap_rk(i, j):
         return (j, i, jnp.int32(0), jnp.int32(0))
@@ -312,6 +326,152 @@ def _make_transform(inverse: bool, n: int, k: int, rows: int, bb: int,
         out_specs=pl.BlockSpec((bb, 1, n2, n1), imap_rk,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, k, n2, n1), U32),
+        interpret=interpret,
+    )
+
+
+def _make_inv_tensor3(n: int, k: int, rows: int, bb: int, n1: int,
+                      interpret: bool):
+    """Fused BFV component convolution + inverse transform: reads the
+    two 2-component NTT-domain operands, forms (a0b0, a0b1+a1b0, a1b1)
+    mod q in VMEM, and inverse-transforms all three — the 3-component
+    tensor intermediate never exists in HBM (bfv.ops.multiply)."""
+    n2 = LANES
+    rpb = rows // bb
+
+    def kernel(consts_r, a_r, b_r, ma_r, ba_r, mb_r, bbias_r,
+               tw_r, twsh_r, tw32_r, tw32sh_r, tk_r, o_r):
+        li = pl.program_id(0)
+        q = consts_r[li, 0]
+        mu = consts_r[li, 1]
+        s1c = consts_r[li, 2]
+        c32 = consts_r[li, 3]
+        c32_sh = consts_r[li, 4]
+        kc = consts_r[li, 5]
+        cv = (q, mu, s1c, c32, c32_sh, kc)
+        tws = (tw_r[0], twsh_r[0], tw32_r[0], tw32sh_r[0], tk_r[0])
+        a0 = a_r[:, 0, 0]
+        a1 = a_r[:, 1, 0]
+        b0 = b_r[:, 0, 0]
+        b1 = b_r[:, 1, 0]
+
+        def red(hi, lo):
+            return _reduce64(hi, lo, q, mu, s1c, c32, c32_sh)
+
+        h0, l0 = _mul32(a0, b0)
+        h1, l1 = _mul32(a0, b1)
+        h2, l2 = _mul32(a1, b0)
+        hs, ls = _addc(h1 + h2, l1, l2)
+        h3, l3 = _mul32(a1, b1)
+        for c, (hh, ll) in enumerate(((h0, l0), (hs, ls), (h3, l3))):
+            o_r[:, c, 0] = _inv_core(red(hh, ll), bb, n1, n2, cv,
+                                     ma_r[0], ba_r[0], mb_r[0],
+                                     bbias_r[0], tws)
+
+    def imap_ab(i, j):
+        return (j, jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
+    def imap_limb(i, j):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    def imap_consts(i, j):
+        return (jnp.int32(0), jnp.int32(0))
+
+    ka = WB * n1
+    kb = WB * n2
+    ncols = NP * LANES
+    in_specs = [
+        pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, 2, 1, n2, n1), imap_ab,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 2, 1, n2, n1), imap_ab,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ka, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kb, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, n2, n1), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5
+    return pl.pallas_call(
+        kernel,
+        grid=(k, rpb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, 3, 1, n2, n1), imap_ab,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 3, k, n2, n1), U32),
+        interpret=interpret,
+    )
+
+
+def _make_inv_ks(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
+                 interpret: bool):
+    """Fused keyswitch inner product + inverse transform: contracts the
+    digit axis against both key components in VMEM and inverse-
+    transforms the two accumulators — the [rows, 2, k, N] inner-product
+    intermediate never exists in HBM (bfv.ops.keyswitch). Raw 64-bit
+    accumulation: kdig * q^2 < 2^64 for kdig <= 16, q < 2^30."""
+    n2 = LANES
+    rpb = rows // bb
+
+    def kernel(consts_r, d_r, k0_r, k1_r, ma_r, ba_r, mb_r, bbias_r,
+               tw_r, twsh_r, tw32_r, tw32sh_r, tk_r, o_r):
+        li = pl.program_id(0)
+        q = consts_r[li, 0]
+        mu = consts_r[li, 1]
+        s1c = consts_r[li, 2]
+        c32 = consts_r[li, 3]
+        c32_sh = consts_r[li, 4]
+        kc = consts_r[li, 5]
+        cv = (q, mu, s1c, c32, c32_sh, kc)
+        tws = (tw_r[0], twsh_r[0], tw32_r[0], tw32sh_r[0], tk_r[0])
+        for comp, kr in ((0, k0_r), (1, k1_r)):
+            ahi = jnp.zeros((bb, n2, n1), U32)
+            alo = jnp.zeros((bb, n2, n1), U32)
+            for i in range(kdig):
+                hi, lo = _mul32(d_r[:, i, 0], kr[i, 0])
+                ahi, alo = _addc(ahi, alo, lo)
+                ahi = ahi + hi
+            acc = _reduce64(ahi, alo, q, mu, s1c, c32, c32_sh)
+            o_r[:, comp, 0] = _inv_core(acc, bb, n1, n2, cv,
+                                        ma_r[0], ba_r[0], mb_r[0],
+                                        bbias_r[0], tws)
+
+    def imap_d(i, j):
+        return (j, jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
+    def imap_key(i, j):
+        return (jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
+    def imap_limb(i, j):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    def imap_consts(i, j):
+        return (jnp.int32(0), jnp.int32(0))
+
+    ka = WB * n1
+    kb = WB * n2
+    ncols = NP * LANES
+    in_specs = [
+        pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, kdig, 1, n2, n1), imap_d,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kdig, 1, n2, n1), imap_key,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((kdig, 1, n2, n1), imap_key,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ka, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kb, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, n2, n1), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5
+    return pl.pallas_call(
+        kernel,
+        grid=(k, rpb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, 2, 1, n2, n1), imap_d,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 2, k, n2, n1), U32),
         interpret=interpret,
     )
 
@@ -555,6 +715,80 @@ class PallasMatmulNttPlan:
     def inv(self, x):
         """NTT domain -> [..., k, N] natural coefficient order."""
         return self._apply(x, inverse=True)
+
+    # -- fused inverse variants (convolution / keyswitch prologues) ----------
+
+    def _fbb(self, rows: int) -> int:
+        """Rows per block for the fused inverse kernels: they hold 2-4
+        extra input tiles plus one transform's partial stacks, so the
+        default block is 4x smaller than the plain transform's."""
+        import os
+        tb = int(os.environ.get("SUNSCREEN_TPU_PMNTT_FBB_KB", "256")) << 10
+        return self._bb(rows, target_bytes=tb)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _inv_tensor3_impl(self, a, b):
+        rows = a.shape[0]
+        k = len(self.moduli)
+        n1, n2 = self.n1, self.n2
+        f = _make_inv_tensor3(self.n, k, rows, self._fbb(rows), n1,
+                              _interpret())
+        z = f(jnp.asarray(self.consts),
+              a.reshape(rows, 2, k, n2, n1),
+              b.reshape(rows, 2, k, n2, n1),
+              *(jnp.asarray(t) for t in self.iA_m),
+              *(jnp.asarray(t) for t in self.iB_m),
+              *map(jnp.asarray, self.tw_i))
+        return z.reshape(rows, 3, k, self.n)
+
+    def inv_tensor3(self, a_hat, b_hat):
+        """a_hat, b_hat [..., 2, k, N] (NTT domain) -> [..., 3, k, N]
+        coefficient-domain BFV tensor (a0b0, a0b1+a1b0, a1b1): the
+        component convolution fused into the inverse transform, so the
+        NTT-domain tensor never round-trips HBM."""
+        a_hat = a_hat.astype(self.word)
+        b_hat = b_hat.astype(self.word)
+        lead = a_hat.shape[:-3]
+        rows = 1
+        for d in lead:
+            rows *= d
+        k = len(self.moduli)
+        out = self._inv_tensor3_impl(
+            a_hat.reshape(rows, 2, k, self.n),
+            b_hat.reshape(rows, 2, k, self.n))
+        return out.reshape(*lead, 3, k, self.n)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _inv_ks_impl(self, d_hat, k0, k1):
+        rows, kdig, k, n = d_hat.shape
+        n1, n2 = self.n1, self.n2
+        f = _make_inv_ks(self.n, k, kdig, rows, self._fbb(rows), n1,
+                         _interpret())
+        z = f(jnp.asarray(self.consts),
+              d_hat.reshape(rows, kdig, k, n2, n1),
+              k0.reshape(kdig, k, n2, n1),
+              k1.reshape(kdig, k, n2, n1),
+              *(jnp.asarray(t) for t in self.iA_m),
+              *(jnp.asarray(t) for t in self.iB_m),
+              *map(jnp.asarray, self.tw_i))
+        return z.reshape(rows, 2, k, n)
+
+    def inv_ks(self, d_hat, k0, k1):
+        """d_hat [..., kdig, k, N], keys k0/k1 [kdig, k, N] (all NTT
+        domain) -> [..., 2, k, N] coefficient domain: the keyswitch
+        digit contraction (sum_i d_i * key_i mod q) fused into the
+        inverse transform of both key components."""
+        d_hat = d_hat.astype(self.word)
+        lead = d_hat.shape[:-3]
+        kdig = d_hat.shape[-3]
+        rows = 1
+        for d in lead:
+            rows *= d
+        k = len(self.moduli)
+        out = self._inv_ks_impl(
+            d_hat.reshape(rows, kdig, k, self.n),
+            k0.astype(self.word), k1.astype(self.word))
+        return out.reshape(*lead, 2, k, self.n)
 
     # -- pointwise -----------------------------------------------------------
 

@@ -86,6 +86,32 @@ def _addc(acc_hi, acc_lo, lo):
     return acc_hi + carry, nl
 
 
+def _fp_int(ys, fpw, nb, add_half: bool):
+    """Integer part of the exact fixed-point dot sum_i y_i * fp_i /
+    2^128 (+ 1/2 if add_half) as (int_hi, int_lo) u32 words. ys: list
+    of u32 [nb] arrays; fpw(i, w) -> the w-th (LSW-first) u32 word of
+    fp_i (an SMEM scalar). Columns base 2^32; col w takes product-lo of
+    fp word w and product-hi of word w-1; each column accumulated as a
+    64-bit (hi, lo) pair, then one carry-propagation pass."""
+    ch = [jnp.zeros((nb,), U32) for _ in range(6)]
+    cl = [jnp.zeros((nb,), U32) for _ in range(6)]
+    for i, y in enumerate(ys):
+        for w in range(4):
+            hi, lo = _mul32(y, fpw(i, w))
+            ch[w], cl[w] = _addc(ch[w], cl[w], lo)
+            ch[w + 1], cl[w + 1] = _addc(ch[w + 1], cl[w + 1], hi)
+    if add_half:
+        ch[3], cl[3] = _addc(ch[3], cl[3], jnp.full((nb,), 1 << 31, U32))
+    carry = jnp.zeros((nb,), U32)
+    t = [None] * 6
+    for w in range(6):
+        s = cl[w] + carry
+        ovf = jnp.where(s < carry, jnp.uint32(1), jnp.uint32(0))
+        t[w] = s
+        carry = ch[w] + ovf
+    return t[5], t[4]
+
+
 # ---------------------------------------------------------------------------
 # kernel factory
 # ---------------------------------------------------------------------------
@@ -115,32 +141,10 @@ def _rns_kernel(ks: int, kd: int, mode: str, centered: bool,
                                  q), q)
             ys.append(y)
 
-        # exact fixed-point dot: S = sum_i y_i * fp_i / 2^128.
-        # columns base 2^32; col w takes product-lo of fp word w and
-        # product-hi of word w-1; each column accumulated as a 64-bit
-        # (hi, lo) pair. Integer part lands in columns 4+.
-        ch = [jnp.zeros((nb,), U32) for _ in range(6)]
-        cl = [jnp.zeros((nb,), U32) for _ in range(6)]
-        for i in range(ks):
-            y = ys[i]
-            for w in range(4):
-                hi, lo = _mul32(y, src_r[i, 3 + w])
-                ch[w], cl[w] = _addc(ch[w], cl[w], lo)
-                ch[w + 1], cl[w + 1] = _addc(ch[w + 1], cl[w + 1], hi)
-        if centered or mode == "scale":
-            ch[3], cl[3] = _addc(ch[3], cl[3],
-                                 jnp.full((nb,), 1 << 31, U32))
-        # carry propagation: t_w = cl[w] + carry; carry = ch[w] + (ovf)
-        carry = jnp.zeros((nb,), U32)
-        t = [None] * 6
-        for w in range(6):
-            s = cl[w] + carry
-            ovf = jnp.where(s < carry, jnp.uint32(1), jnp.uint32(0))
-            t[w] = s
-            carry = ch[w] + ovf
-        # integer part: (t5, t4) = (hi, lo) words  (alpha < k fits t4;
-        # scale's r < k*2^30*t/... fits (t5, t4))
-        int_lo, int_hi = t[4], t[5]
+        # exact fixed-point dot (integer part): alpha < k fits int_lo;
+        # scale's r fits (int_hi, int_lo)
+        int_hi, int_lo = _fp_int(ys, lambda i, w: src_r[i, 3 + w], nb,
+                                 centered or mode == "scale")
 
         # limb contraction per destination modulus: raw 64-bit
         # accumulation (k * q * theta < 2^64 for k <= 16, q,theta < 2^30)
@@ -507,6 +511,125 @@ class FusedModDown:
             interpret=jax.default_backend() == "cpu",
         )(jnp.asarray(self.consts), jnp.asarray(self.p_consts), xq, xp)
         return out.reshape(*lead, self.k, n)
+
+
+class FusedScaleConvert:
+    """Scale-and-round (base Q∪B -> B) CHAINED with the centered base
+    conversion (B -> Q) in one VMEM pass: out = [round(t*x/Q)]_Q for x
+    in the tensor base. The scaled-aux intermediate of
+    `bfv.ops.multiply` never exists in HBM. Bit-exact composition of
+    `rns.ScaleAndRound.apply` + `rns.BaseConverter.convert(centered=
+    True)` (pinned by tests/test_prns.py)."""
+
+    def __init__(self, sc, conv):
+        assert sc.dst.moduli == conv.src.moduli
+        self.ks, self.km, self.kd = sc.src.k, sc.dst.k, conv.dst.k
+        # numpy attributes only (lazy-build safety, see FusedRnsOp)
+        a_c = _pack_src(sc.src)
+        a_c[:, 3:7] = _fp_words(np.asarray(sc.phi_hi, np.uint64),
+                                np.asarray(sc.phi_lo, np.uint64))
+        self.a_c = a_c
+        b = conv.src
+        b_c = np.zeros((self.km, 16), np.uint32)
+        for j, q in enumerate(b.moduli):
+            mu, s1 = m.barrett32_consts(q)
+            c32 = (1 << 32) % q
+            b_c[j, :5] = (q, mu, s1, c32, m.shoup_ratio32(c32, q))
+        b_c[:, 5] = np.asarray(b.inv_punc_dev).astype(np.uint32)
+        b_c[:, 6] = np.asarray(b.inv_punc_shoup_dev).astype(np.uint32)
+        b_c[:, 8:12] = _fp_words(np.asarray(b.inv_q_fp_hi, np.uint64),
+                                 np.asarray(b.inv_q_fp_lo, np.uint64))
+        self.b_c = b_c
+        self.d_c = _pack_dst(conv.dst,
+                             np.asarray(conv.c_mod_d, np.uint64))
+        self.omega = np.asarray(sc.omega, np.uint64).astype(np.uint32)
+        self.theta = np.asarray(conv.theta, np.uint64).astype(np.uint32)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def __call__(self, x):
+        """x [..., ks, N] u32 (tensor base Q∪B) -> [..., kd, N] u32
+        (base Q)."""
+        ks, km, kd = self.ks, self.km, self.kd
+        lead = x.shape[:-2]
+        n = x.shape[-1]
+        rows = 1
+        for d in lead:
+            rows *= d
+        xr = x.reshape(rows, ks, n)
+        nb = min(_NB, n)
+        assert n % nb == 0
+
+        def kernel(a_r, b_r, d_r, om_r, th_r, x_r, o_r):
+            # -- scale: y_i = normalize(x_i); s_j over B ------------------
+            ys = []
+            for i in range(ks):
+                q = a_r[i, 0]
+                ys.append(_norm2q(
+                    _shoup2q(x_r[0, i], a_r[i, 1], a_r[i, 2], q), q))
+            ihi, ilo = _fp_int(ys, lambda i, w: a_r[i, 3 + w], nb, True)
+            zs = []
+            for j in range(km):
+                d = b_r[j, 0]
+                cs = tuple(b_r[j, i] for i in range(1, 5))
+                ahi = jnp.zeros((nb,), U32)
+                alo = jnp.zeros((nb,), U32)
+                for i in range(ks):
+                    hi, lo = _mul32(ys[i], om_r[i, j])
+                    ahi, alo = _addc(ahi, alo, lo)
+                    ahi = ahi + hi
+                acc = _reduce64(ahi, alo, d, *cs)
+                rint = _reduce64(ihi, ilo, d, *cs)
+                s = _norm2q(acc + rint, d)
+                # -- convert prologue: z_j = s_j * inv_punc_j mod b_j ----
+                zs.append(_norm2q(
+                    _shoup2q(s, b_r[j, 5], b_r[j, 6], d), d))
+            # -- centered convert B -> Q --------------------------------
+            _, alo2 = _fp_int(zs, lambda j, w: b_r[j, 8 + w], nb, True)
+            for jq in range(kd):
+                d = d_r[jq, 0]
+                cs = tuple(d_r[jq, i] for i in range(1, 5))
+                ahi = jnp.zeros((nb,), U32)
+                alo = jnp.zeros((nb,), U32)
+                for j in range(km):
+                    hi, lo = _mul32(zs[j], th_r[j, jq])
+                    ahi, alo = _addc(ahi, alo, lo)
+                    ahi = ahi + hi
+                acc = _reduce64(ahi, alo, d, *cs)
+                chi, clo = _mul32(alo2, d_r[jq, 5])   # alpha < km
+                corr = _reduce64(chi, clo, d, *cs)
+                o_r[0, jq] = _norm2q(acc + d - corr, d)
+
+        def imap_x(r, c):
+            return (r, jnp.int32(0), c)
+
+        def imap_const(r, c):
+            return (jnp.int32(0), jnp.int32(0))
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows, n // nb),
+            in_specs=[
+                pl.BlockSpec((ks, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((km, 16), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((kd, 8), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((ks, km), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((km, kd), imap_const,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ks, nb), imap_x,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, kd, nb), imap_x,
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, kd, n), U32),
+            interpret=jax.default_backend() == "cpu",
+        )(jnp.asarray(self.a_c), jnp.asarray(self.b_c),
+          jnp.asarray(self.d_c), jnp.asarray(self.omega),
+          jnp.asarray(self.theta), xr)
+        return out.reshape(*lead, kd, n)
 
 
 def fused_mod_down(md) -> FusedModDown:

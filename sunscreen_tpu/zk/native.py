@@ -34,7 +34,8 @@ def get_lib():
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < src_mtime):
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    ["g++", "-O3", "-march=native", "-funroll-loops",
+                     "-shared", "-fPIC", "-o", _SO, _SRC],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO)
             for name in ("ristretto_msm", "ristretto_batch_scalarmul",

@@ -83,3 +83,47 @@ def test_pmntt_fallbacks():
     small_n = tuple(primes.gen_ntt_primes(29, 1, 128))
     assert type(ntt.get_plan(128, small_n, mode="pallas")).__name__ \
         == "MatmulNttPlan"
+
+
+def test_inv_tensor3_matches_pointwise_then_inv():
+    """The fused convolution+inverse kernel == FusedTensor3 followed by
+    plan.inv (bit-identical: same reduce formulas, same inverse core)."""
+    from sunscreen_tpu.math import prns
+    n = 256
+    mods, plan, _ = _plans(n, k=3)
+    rng = np.random.default_rng(11)
+    for rows in (1, 2):
+        a = np.empty((rows, 2, len(mods), n), np.uint32)
+        b = np.empty((rows, 2, len(mods), n), np.uint32)
+        for i, q in enumerate(mods):
+            a[..., i, :] = rng.integers(0, q, (rows, 2, n), dtype=np.uint32)
+            b[..., i, :] = rng.integers(0, q, (rows, 2, n), dtype=np.uint32)
+        aj, bj = jnp.asarray(a), jnp.asarray(b)
+        want = np.asarray(plan.inv(prns.FusedTensor3(mods)(aj, bj)))
+        got = np.asarray(plan.inv_tensor3(aj, bj))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_inv_ks_matches_inner_then_inv():
+    """The fused keyswitch-contraction+inverse kernel == FusedKsInner
+    followed by plan.inv."""
+    from sunscreen_tpu.math import prns
+    n = 256
+    mods, plan, _ = _plans(n, k=3)
+    rng = np.random.default_rng(12)
+    kdig = 2
+    rows = 2
+    k = len(mods)
+    d_hat = np.empty((rows, kdig, k, n), np.uint32)
+    k0 = np.empty((kdig, k, n), np.uint32)
+    k1 = np.empty((kdig, k, n), np.uint32)
+    for j, q in enumerate(mods):
+        d_hat[..., j, :] = rng.integers(0, q, (rows, kdig, n),
+                                        dtype=np.uint32)
+        k0[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+        k1[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+    dj = jnp.asarray(d_hat)
+    k0j, k1j = jnp.asarray(k0), jnp.asarray(k1)
+    want = np.asarray(plan.inv(prns.FusedKsInner(mods)(dj, k0j, k1j)))
+    got = np.asarray(plan.inv_ks(dj, k0j, k1j))
+    np.testing.assert_array_equal(got, want)

@@ -128,3 +128,15 @@ def test_fused_ks_inner(ctx):
                      for i in range(kdig)) % q
             assert int(np.asarray(got0)[0, j, col]) == w0
             assert int(np.asarray(got1)[0, j, col]) == w1
+
+
+def test_fused_scale_convert_chain(ctx):
+    """FusedScaleConvert == ScaleAndRound.apply then centered
+    BaseConverter.convert, bit-exact."""
+    rng = np.random.default_rng(6)
+    x = _rand(ctx.mul_base, (2,), ctx.n, rng)
+    want = np.asarray(ctx.conv_aux_to_q.convert(
+        ctx.scale_mul_to_aux.apply(x), centered=True))
+    got = np.asarray(prns.FusedScaleConvert(
+        ctx.scale_mul_to_aux, ctx.conv_aux_to_q)(x))
+    np.testing.assert_array_equal(got, want.astype(np.uint32))

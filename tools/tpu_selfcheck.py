@@ -87,6 +87,49 @@ def main():
     os.environ["SUNSCREEN_TPU_FUSED_RNS"] = "1"
     check("fused base-extend vs XLA path", np.array_equal(got, want))
 
+    # fused inverse-transform prologues (round-3 merges) vs their
+    # two-kernel compositions, on-device
+    from sunscreen_tpu.math import ntt as nttmod
+    from sunscreen_tpu.math import prns
+    plan_m = ctx.plan_mul
+    if getattr(plan_m, "mode", "") == "pallas":
+        km = ctx.mul_base.k
+        a_t = jnp.asarray(rng.integers(0, 1 << 28, (2, 2, km, ctx.n)),
+                          jnp.uint32)
+        b_t = jnp.asarray(rng.integers(0, 1 << 28, (2, 2, km, ctx.n)),
+                          jnp.uint32)
+        ten = prns.FusedTensor3(ctx.mul_base.moduli)
+        want = np.asarray(jax.jit(lambda u, v: plan_m.inv(ten(u, v)))(
+            a_t, b_t))
+        got = np.asarray(jax.jit(plan_m.inv_tensor3)(a_t, b_t))
+        check("inv_tensor3 vs pointwise+inv", np.array_equal(got, want))
+
+        plan_k = ctx.plan_key
+        kk = ctx.k + 1
+        d_t = jnp.asarray(rng.integers(0, 1 << 28, (2, ctx.k, kk, ctx.n)),
+                          jnp.uint32)
+        k0_t = jnp.asarray(rng.integers(0, 1 << 28, (ctx.k, kk, ctx.n)),
+                           jnp.uint32)
+        k1_t = jnp.asarray(rng.integers(0, 1 << 28, (ctx.k, kk, ctx.n)),
+                           jnp.uint32)
+        inner = prns.FusedKsInner(ctx.key_base.moduli)
+        want = np.asarray(jax.jit(
+            lambda d, u, v: plan_k.inv(inner(d, u, v)))(d_t, k0_t, k1_t))
+        got = np.asarray(jax.jit(plan_k.inv_ks)(d_t, k0_t, k1_t))
+        check("inv_ks vs inner+inv", np.array_equal(got, want))
+
+        x_t = jnp.asarray(
+            rng.integers(0, 1 << 28, (2, ctx.mul_base.k, ctx.n)),
+            jnp.uint32) % jnp.asarray(
+                np.array(ctx.mul_base.moduli, np.uint32)).reshape(-1, 1)
+        sc = prns.FusedScaleConvert(ctx.scale_mul_to_aux,
+                                    ctx.conv_aux_to_q)
+        want = np.asarray(jax.jit(lambda v: ctx.conv_aux_to_q.convert(
+            ctx.scale_mul_to_aux.apply(v), centered=True))(x_t))
+        got = np.asarray(jax.jit(sc)(x_t))
+        check("fused scale+convert chain", np.array_equal(got, want))
+    del nttmod
+
     # full multiply_relin decrypt vs plaintext oracle
     t = int(ctx.t)
     key = jax.random.key(0)
