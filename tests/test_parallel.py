@@ -184,3 +184,54 @@ def test_sharded_full_program_lowering():
                                     gks=pub.galois_keys)
     got = np.asarray(sharded(a_cts, b_cts)[0])
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_full_program_coeff_axis():
+    """The same whole-program GSPMD lowering with the COEFFICIENT axis
+    sharded: multiply, keyswitch, AND the rotation's galois
+    permutation run with N split across devices, XLA inserting the
+    collective permutes/gathers (round-3 gap: coefficient-sharded full
+    programs — until now only one hand-written op was coeff-sharded)."""
+    import jax.random as jr  # noqa: F401
+
+    from sunscreen_tpu.bfv import BfvParams
+    from sunscreen_tpu.compiler import Compiler
+    from sunscreen_tpu.compiler.lower import (lower_program,
+                                              lower_program_sharded)
+    from sunscreen_tpu.compiler.trace import fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Batched, Cipher
+
+    params = BfvParams.insecure(poly_degree=64, limbs=2, limb_bits=40)
+    rt = Runtime.new_fhe_zkp(params)
+    pub, priv = rt.generate_keys(seed=9)
+
+    @fhe_program(scheme="bfv")
+    def workload(a: Cipher[Batched], b: Cipher[Batched]):
+        prod = a * b
+        rot = prod << 1
+        return rot + a - b
+
+    app = Compiler().with_params(params).fhe_program(workload).compile()
+    prog = app.get_program(workload)
+
+    batch = 2
+    rows = np.arange(params.poly_degree, dtype=np.uint64) % 17
+    a_cts = jnp.stack([
+        rt.encrypt(Batched(rows + i), pub, seed=60 + i).cts[0]
+        for i in range(batch)])
+    b_cts = jnp.stack([
+        rt.encrypt(Batched(rows * 3 + i), pub, seed=70 + i).cts[0]
+        for i in range(batch)])
+
+    single = lower_program(prog, rt.ctx, rlk=pub.relin_key,
+                           gks=pub.galois_keys)
+    want = np.asarray(single(a_cts, b_cts)[0])
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("batch", "coeff"))
+    sharded = lower_program_sharded(
+        prog, rt.ctx, mesh, rlk=pub.relin_key, gks=pub.galois_keys,
+        ct_spec=P("batch", None, None, "coeff"))
+    got = np.asarray(sharded(a_cts, b_cts)[0])
+    np.testing.assert_array_equal(got, want)
