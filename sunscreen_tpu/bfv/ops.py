@@ -50,11 +50,17 @@ def _fused_pointwise(kind: str, moduli: tuple[int, ...]):
 def _plan_fused(ctx, plan) -> bool:
     """True when the plan's fused-inverse kernels (convolution /
     keyswitch prologues riding the inverse transform) should run:
-    pallas NTT mode, unless SUNSCREEN_TPU_FUSED_RNS=0 opts out of all
-    fused pipelines."""
+    pallas NTT mode, unless SUNSCREEN_TPU_FUSED_RNS=0 (all fused
+    pipelines) or SUNSCREEN_TPU_FUSE_INV=0 (just these) opts out."""
     import os
     return (getattr(plan, "mode", "") == "pallas"
-            and os.environ.get("SUNSCREEN_TPU_FUSED_RNS") != "0")
+            and os.environ.get("SUNSCREEN_TPU_FUSED_RNS") != "0"
+            and os.environ.get("SUNSCREEN_TPU_FUSE_INV") != "0")
+
+
+def _env_on(name: str, default: str = "1") -> bool:
+    import os
+    return os.environ.get(name, default) != "0"
 
 
 def _scale_convert(ctx, tensor):
@@ -62,7 +68,8 @@ def _scale_convert(ctx, tensor):
     kernel on the TPU u32 path, else the two-stage XLA pipeline."""
     import os
     if (tensor.dtype == m.U32 and jax.default_backend() == "tpu"
-            and os.environ.get("SUNSCREEN_TPU_FUSED_RNS") != "0"):
+            and os.environ.get("SUNSCREEN_TPU_FUSED_RNS") != "0"
+            and os.environ.get("SUNSCREEN_TPU_FUSE_SC") != "0"):
         if not hasattr(ctx, "_fused_scale_convert_op"):
             from sunscreen_tpu.math import prns
             ctx._fused_scale_convert_op = prns.FusedScaleConvert(
@@ -327,7 +334,12 @@ def multiply(ctx: BfvContext, a, b):
     km = ctx.mul_base.k
     qm = ctx.mul_base.q_dev.reshape(km, 1)
     if (na == 2 and nb == 2 and a_hat.dtype == m.U32
-            and _plan_fused(ctx, ctx.plan_mul)):
+            and _plan_fused(ctx, ctx.plan_mul)
+            # OFF by default: measured 3818 vs 4149 ops/s — the three
+            # inverse transforms in one kernel force bb=8 (VMEM), which
+            # costs more than the saved tensor round trip. The kernel
+            # stays available (selfchecked) for future VMEM budgets.
+            and _env_on("SUNSCREEN_TPU_FUSE_T3", default="0")):
         # component convolution fused INTO the inverse transform — the
         # NTT-domain tensor never round-trips HBM
         tensor = ctx.plan_mul.inv_tensor3(a_hat, b_hat)
@@ -381,7 +393,8 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32
     # engine: widened sums) + one reduction — residues are identical to
     # the add_mod chain (bit-exact)
-    if d_hat.dtype == m.U32 and _plan_fused(ctx, ctx.plan_key):
+    if (d_hat.dtype == m.U32 and _plan_fused(ctx, ctx.plan_key)
+            and _env_on("SUNSCREEN_TPU_FUSE_KS")):
         # digit contraction fused INTO the inverse transform of both
         # key components — the inner-product intermediate never
         # round-trips HBM
