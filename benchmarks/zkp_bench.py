@@ -66,6 +66,40 @@ def fractional_range_proof():
     return t_prove, t_verify, len(proof.to_bytes())
 
 
+def linked_proof_bench():
+    """Typed linked proof (SDLP + BP + compressed bridge) prove/verify
+    time and serialized component sizes (reference surface:
+    `sunscreen_runtime/src/linked.rs` + `benches/fractional_range_proof.rs`
+    linked variant)."""
+    from sunscreen_tpu.bfv import BfvParams
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.runtime.linked import LogProofBuilder
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import (BfvSigned, Field, Linked,
+                                               Public, zkp_program)
+
+    @zkp_program()
+    def in_balance(balance: Linked[BfvSigned], unshielded: Public[Field]):
+        balance.constrain_fresh_encoding()
+        diff = balance.into_field_elem() - unshielded
+        diff.to_unsigned(16)
+        unshielded.to_unsigned(16)
+
+    params = BfvParams.insecure(poly_degree=64, limbs=1, limb_bits=28)
+    rt = Runtime.new_fhe_zkp(params)
+    pub, _ = rt.generate_keys(seed=3, galois=False, relin=False)
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Signed(1000), pub, seed=5)
+    t0 = time.perf_counter()
+    proof = builder.build_linked(in_balance, public_inputs=[400])
+    t_prove = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = proof.verify(in_balance, public_inputs=[400])
+    t_verify = time.perf_counter() - t0
+    assert ok
+    return t_prove, t_verify, proof.size_bytes()
+
+
 def msm_bench(n):
     from sunscreen_tpu.zk import curve25519 as cv
     from sunscreen_tpu.zk import native
@@ -93,12 +127,16 @@ def msm_bench(n):
 
 def main():
     t_prove, t_verify, size = fractional_range_proof()
+    lp_prove, lp_verify, lp_sizes = linked_proof_bench()
     t_cpp, t_tpu = msm_bench(MSM_N)
     print(json.dumps({
         "metric": "zkp_bench",
         "frp_prove_s": round(t_prove, 2),
         "frp_verify_s": round(t_verify, 2),
         "frp_proof_bytes": size,
+        "linked_prove_s": round(lp_prove, 2),
+        "linked_verify_s": round(lp_verify, 2),
+        "linked_bytes": lp_sizes,
         "msm_n": MSM_N,
         "msm_cpp_s": round(t_cpp, 3),
         "msm_tpu_s": None if t_tpu is None else round(t_tpu, 3),

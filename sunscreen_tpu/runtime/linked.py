@@ -5,13 +5,16 @@ Replaces `sunscreen_runtime/src/linked.rs` (`Sdlp`, `LinkedProof`) and
 the `LogProofBuilder` fluent API (`src/builder.rs:397-900`:
 `encrypt_returning_link`, zkp_program linking, build). The reference
 links by sharing Pedersen generators between the SDLP commitment and a
-forked bulletproofs; here the link is an explicit generalized-Schnorr
-bridge proving that the bits committed in the SDLP's `w_shared` (with
-generators h_shared) recompose — under public 2's-complement weights —
-to the values inside the Bulletproofs' per-witness Pedersen commitments
-V_j. Equivalent guarantee (same message proven valid-encrypted and
-constrained by the R1CS), different mechanism; documented delta from
-the reference.
+forked bulletproofs; here the link is an explicit O(log l) compressed
+bridge (two zero-knowledge inner-product proofs — see
+`CompressedBridge`) proving that the bits committed in the SDLP's
+`w_shared` (with generators h_shared) are EXACTLY the Bulletproofs
+witness: for typed `Linked[...]` programs the bits ride as uncommitted
+low-level BP wires bound through A_I1; for plain-Field programs they
+recompose — under public 2's-complement weights — to the values inside
+the BP's committed inputs V_j. Equivalent guarantee (same message
+proven valid-encrypted and constrained by the R1CS), different
+mechanism; documented delta from the reference.
 
 Signed messages: digit encodings with digits in {-1, 0, 1} (the
 Signed/Unsigned64 fresh encodings, negative values included) link via
@@ -86,49 +89,96 @@ class Sdlp:
 
 
 @dataclass
-class SchnorrBridge:
-    """Generalized Schnorr PoK binding w_shared's bits to the BP
-    commitments.
+class CompressedBridge:
+    """O(log l) bridge binding w_shared's bits to the BP witness via
+    two zero-knowledge inner-product proofs (the SDLP's own IPP,
+    `logproof/inner_product.py`), replacing the earlier generalized
+    Schnorr whose response vectors were O(l) scalars plus one 32-byte
+    commitment per shared bit.
 
-    Soundness: the bridge proves knowledge of BOTH an opening of
-    w_shared over (h_shared, u) AND an opening of w - w_shared over
-    (h_unshared, g, u), under one challenge. Summed, these give an
-    opening of the SDLP commitment w over the full independent
-    generator set (h, g, u); by Pedersen binding this opening must
-    coincide coordinate-wise with the (s_1, s_2, rho) opening the SDLP
-    extractor produces, so the bridged exponents over h_shared ARE the
-    SDLP's shared s_1 bits. Without the unshared half a prover could
-    split w arbitrarily and 'link' an unrelated value (round-1 advisor
-    finding). The reference gets the same guarantee by embedding the
-    shared generators in the BP's G vector and checking
-    A_I1_shared == w_shared (`sunscreen_runtime/src/linked.rs:285`).
+    `mode == "wires"` (typed `Linked[...]` programs): the shared bits
+    are UNCOMMITTED low-level BP wires packed into A_I1 (no per-bit V
+    commitments at all). `ipp_shared` proves, against
+    t = w_shared + A_I1 + <v2_pub, h_bridge>, knowledge of an opening
+    (bits ‖ i_blinding ‖ a_L ‖ a_R) over (h_shared ‖ Bb ‖ G ‖ H) with
+    <opening, v2_pub> = 0 where v2_pub holds the powers r^i on the
+    h_shared slots and -r^i on the wire slot carrying bit i. The
+    challenge r is drawn AFTER both w_shared and the complete BP proof
+    are in the transcript, so bits-in-w_shared == bits-in-A_I1 follows
+    from Schwartz–Zippel over r.
+
+    `mode == "values"` (plain `Field` programs): the linked field
+    values stay Pedersen-committed (V_j). `ipp_shared` proves, against
+    t = w_shared + Σ c_j·V_j + <v2_pub, h_bridge>, an opening
+    (bits ‖ Σc_j·v_j ‖ Σc_j·r_j) over (h_shared ‖ B ‖ Bb) with inner
+    product Σ_j c_j·(<bits_j, weights_j> - v_j) = 0, the c_j drawn
+    after all commitments (random-linear-combination soundness).
+
+    Both modes carry `ipp_unshared`: a compressed PoK of an opening of
+    w - w_shared over the RESTRICTED set (h_unshared, g, u) — the
+    degenerate IPP with v_2 = 0 and identity right-generators. Summed
+    with ipp_shared's half this yields an opening of the SDLP
+    commitment w over the full independent generator set; by Pedersen
+    binding it must coincide with the (s_1, s_2, rho) opening the SDLP
+    extractor produces, so the bridged h_shared exponents ARE the
+    SDLP's shared s_1 bits. Without this half a prover could split w
+    arbitrarily and 'link' an unrelated value (round-1 advisor
+    finding). Binding across proofs holds because h/g (SDLP shake
+    chains 'g'/'h'), the BP's G/H/B/Bb, u, and the bridge h_bridge
+    ('bridge-h' chain) are all independently hash-derived generators.
+    The reference gets the same guarantee by embedding the shared
+    generators in the BP's G vector and checking
+    A_I1_shared == w_shared (`sunscreen_runtime/src/linked.rs:285`);
+    this bridge keeps the stock BP generator set instead and pays two
+    log-size IPPs.
     """
 
-    a_h: cv.Point           # commitment over (h_shared, u)
-    a_un: cv.Point          # commitment over (h_unshared, g, u)
-    a_v: list[cv.Point]     # commitments over (B, B_blinding) per V_j
-    z_bits: list[int]
-    z_un: list[int]         # responses: h_unshared coords then g coords
-    z_rho_h: int
-    z_rho_un: int
-    z_rho_v: list[int]
+    mode: str                               # "wires" | "values"
+    ipp_shared: lp_ipp.InnerProductProof
+    ipp_unshared: lp_ipp.InnerProductProof
+
+    def to_bytes(self) -> bytes:
+        m = self.mode.encode()
+        sh = self.ipp_shared.to_bytes()
+        return (len(m).to_bytes(1, "little") + m
+                + len(sh).to_bytes(4, "little") + sh
+                + self.ipp_unshared.to_bytes())
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "CompressedBridge":
+        ml = data[0]
+        mode = data[1:1 + ml].decode()
+        off = 1 + ml
+        shl = int.from_bytes(data[off:off + 4], "little")
+        off += 4
+        return CompressedBridge(
+            mode, lp_ipp.InnerProductProof.from_bytes(data[off:off + shl]),
+            lp_ipp.InnerProductProof.from_bytes(data[off + shl:]))
 
 
 @dataclass
 class LinkedProof:
     """SDLP + R1CS + bridge (reference: `LinkedProof`,
-    linked.rs:32-52). For typed `Linked[...]` programs the bridge binds
-    each shared BIT to its own BP input commitment (unit slices with
-    weight 1); for plain-Field programs it binds the recombined value
-    (the original weighted form)."""
+    linked.rs:32-52). For typed `Linked[...]` programs the shared bits
+    are uncommitted low-level BP wires bound through A_I1 ("wires"
+    bridge); for plain-Field programs the recombined values are the
+    BP's first committed inputs ("values" bridge)."""
 
     sdlp: lr.LogProof
     vk: lr.VerifierKnowledge
-    shared_slices: list[tuple[int, int]]   # bit ranges per linked input
-    weights: list[list[int]]
+    shared_slices: list[tuple[int, int]]   # bit ranges per linked poly
+    weights: list[list[int]]               # values mode only
     bp_proof: BulletproofsProof
-    bridge: SchnorrBridge
+    bridge: CompressedBridge
     params: object = None   # BfvParams when the program has linked args
+
+    def size_bytes(self) -> dict:
+        """Per-component serialized sizes (the bridge is O(log l);
+        the reference's whole LinkedProof is likewise log-size,
+        `sunscreen_runtime/src/linked.rs`)."""
+        return {"sdlp": len(self.sdlp.to_bytes()),
+                "bp": len(self.bp_proof.to_bytes()),
+                "bridge": len(self.bridge.to_bytes())}
 
     def verify(self, zkp_program, public_inputs=(),
                constant_inputs=()) -> bool:
@@ -140,23 +190,30 @@ class LinkedProof:
             return False
         # 2. the R1CS proof
         backend = BulletproofsBackend()
+        n_bits = sum(hi - lo for lo, hi in self.shared_slices)
         if getattr(zkp_program, "linked_types", None):
-            if self.params is None:
+            if self.params is None or self.bridge.mode != "wires":
                 return False
             prog = zkp_program.build(params=self.params)
+            lowlevel = n_bits
         else:
+            if self.bridge.mode != "values":
+                return False
             prog = zkp_program.build()
+            lowlevel = 0
         if not backend.verify(prog, self.bp_proof, public_inputs,
-                              constant_inputs):
+                              constant_inputs,
+                              lowlevel_prefix=lowlevel):
             return False
         # 3. the bridge
-        n_linked = len(self.shared_slices)
-        if len(self.bp_proof.commitments) < n_linked:
-            return False
-        vs = self.bp_proof.commitments[:n_linked]
+        if self.bridge.mode == "values":
+            n_linked = len(self.shared_slices)
+            if len(self.bp_proof.commitments) < n_linked:
+                return False
         return _verify_bridge(self.bridge, self.sdlp.w_shared,
-                              self.sdlp.w, vs, self.shared_slices,
-                              self.weights, gens, u)
+                              self.sdlp.w, self.bp_proof,
+                              self.shared_slices, self.weights,
+                              gens, u, self.vk.l)
 
 
 _GEN_CACHE: dict[int, lr.LogProofGenerators] = {}
@@ -168,50 +225,137 @@ def _cached_generators(l: int) -> lr.LogProofGenerators:
     return _GEN_CACHE[l]
 
 
-# -- the Schnorr bridge ------------------------------------------------------
+# -- the compressed bridge ----------------------------------------------------
 
-def _bridge_transcript(w_shared, w, vs, a_h, a_un, a_v) -> int:
-    t = Transcript(b"sunscreen_tpu linked bridge")
+_BRIDGE_H_CACHE: dict[int, list] = {}
+
+
+def _bridge_h(count: int):
+    """Independent right-side generators for the shared-half IPP
+    (shake chain label 'bridge-h', disjoint from the SDLP's 'g'/'h'
+    chains and the BP generators)."""
+    have = _BRIDGE_H_CACHE.get(0, [])
+    if len(have) < count:
+        _BRIDGE_H_CACHE[0] = lr.generators(count, b"bridge-h")
+        have = _BRIDGE_H_CACHE[0]
+    return have[:count]
+
+
+def _bridge_transcript(w_shared, w, bp_proof, slices, mode) -> Transcript:
+    """Fiat–Shamir base for the bridge challenges: binds the SDLP
+    commitments, the COMPLETE BP proof (so A_I1 / the V_j are fixed
+    before r / c_j are drawn), and the slice structure."""
+    import hashlib
+    t = Transcript(b"sunscreen_tpu linked bridge v2")
+    t.append_message(b"mode", mode.encode())
     t.append_point(b"w_shared", w_shared)
     t.append_point(b"w", w)
-    for v in vs:
-        t.append_point(b"V", v)
-    t.append_point(b"A_h", a_h)
-    t.append_point(b"A_un", a_un)
-    for a in a_v:
-        t.append_point(b"A_v", a)
-    return t.challenge_scalar(b"c")
+    t.append_message(b"bp",
+                     hashlib.sha3_256(bp_proof.to_bytes()).digest())
+    for lo, hi in slices:
+        t.append_u64(b"lo", lo)
+        t.append_u64(b"hi", hi)
+    return t
 
 
-def _prove_bridge(bits, unshared_exps, rho_h, rho_vs, w_shared, w, vs,
-                  slices, weights, gens, u) -> SchnorrBridge:
-    """bits: shared s_1 bits. unshared_exps: s_1 at unshared indices
-    followed by all of s_2 (the opening of w - w_shared over
-    h_unshared + g). rho_h: the blinding on BOTH halves (half_rho)."""
-    pc = cached_pedersen()
-    n_bits = len(bits)
-    y_bits = [secrets.randbelow(L) for _ in range(n_bits)]
-    y_un = [secrets.randbelow(L) for _ in unshared_exps]
-    y_rho_h = secrets.randbelow(L)
-    y_rho_un = secrets.randbelow(L)
-    y_rho_v = [secrets.randbelow(L) for _ in vs]
-    h_shared, h_unshared = _split_h(gens, slices)
-    a_h = cv.msm(y_bits + [y_rho_h], h_shared + [u])
-    a_un = cv.msm(y_un + [y_rho_un], h_unshared + list(gens.g) + [u])
-    a_v = []
+def _powers(x: int, count: int) -> list[int]:
+    out = [1] * count
+    for i in range(1, count):
+        out[i] = out[i - 1] * x % L
+    return out
+
+
+def _wires_v2(t: Transcript, n_bits: int, n_gates: int) -> list[int]:
+    """Public right vector for the wires-mode shared IPP over
+    g = (h_shared ‖ Bb ‖ G ‖ H): r-powers on the bit slots, -r^i on the
+    a_L/a_R wire slot holding bit i (bits packed two per gate, gates
+    first — BulletproofsBackend.lowlevel_var layout)."""
+    r = t.challenge_scalar(b"r")
+    rpow = _powers(r, n_bits)
+    m_L = [(-rpow[2 * g]) % L if 2 * g < n_bits else 0
+           for g in range(n_gates)]
+    m_R = [(-rpow[2 * g + 1]) % L if 2 * g + 1 < n_bits else 0
+           for g in range(n_gates)]
+    return rpow + [0] + m_L + m_R
+
+
+def _values_v2(t: Transcript, slices, weights):
+    """Public right vector for the values-mode shared IPP over
+    g = (h_shared ‖ B ‖ Bb): c_j-scaled recombination weights on the
+    bit slots, -1 on the B slot (which carries Σ c_j·v_j)."""
+    cs = [t.challenge_scalar(b"c") for _ in slices]
+    v2 = []
     for j, (lo, hi) in enumerate(slices):
-        wsum = sum(w_ * y for w_, y in zip(
-            weights[j], y_bits[_offset(slices, j):
-                               _offset(slices, j) + hi - lo])) % L
-        a_v.append(pc.B * wsum + pc.B_blinding * y_rho_v[j])
-    c = _bridge_transcript(w_shared, w, vs, a_h, a_un, a_v)
-    z_bits = [(y + c * b) % L for y, b in zip(y_bits, bits)]
-    z_un = [(y + c * x) % L for y, x in zip(y_un, unshared_exps)]
-    z_rho_h = (y_rho_h + c * rho_h) % L
-    z_rho_un = (y_rho_un + c * rho_h) % L
-    z_rho_v = [(y + c * r) % L for y, r in zip(y_rho_v, rho_vs)]
-    return SchnorrBridge(a_h, a_un, a_v, z_bits, z_un, z_rho_h,
-                         z_rho_un, z_rho_v)
+        v2.extend(cs[j] * w_ % L for w_ in weights[j][:hi - lo])
+    return v2 + [(-1) % L, 0], cs
+
+
+def _unshared_vectors(gens, slices, l):
+    shared_idx = set()
+    for lo, hi in slices:
+        shared_idx.update(range(lo, hi))
+    g_un = [gens.h[i] for i in range(l) if i not in shared_idx] \
+        + list(gens.g)
+    return g_un, shared_idx
+
+
+def _prove_bridge_wires(bits, s_1, half_rho, w_shared, w, bp_proof,
+                        witness, slices, gens, u) -> CompressedBridge:
+    from sunscreen_tpu.zk.pedersen import cached_bp_gens
+    pc = cached_pedersen()
+    n = witness["n"]
+    bp = cached_bp_gens(n)
+    h_shared, _ = _split_h(gens, slices)
+    t = _bridge_transcript(w_shared, w, bp_proof, slices, "wires")
+    v2 = _wires_v2(t, len(bits), n)
+    g_vec = h_shared + [pc.B_blinding] + bp.G[:n] + bp.H[:n]
+    v1 = list(bits) + [witness["i_blinding"]] \
+        + witness["a_L"] + witness["a_R"]
+    assert sum(a * b for a, b in zip(v1, v2)) % L == 0, \
+        "bridge identity failed (bit/wire mismatch)"
+    h_vec = _bridge_h(len(v2))
+    t_sh = w_shared + bp_proof.r1cs.A_I1 + cv.msm(v2, h_vec)
+    ipp_sh = lp_ipp.create(t, v1, v2, half_rho, t_sh, g_vec, h_vec, u)
+    ipp_un = _prove_unshared(t, s_1, half_rho, w_shared, w, slices,
+                             gens, u)
+    return CompressedBridge("wires", ipp_sh, ipp_un)
+
+
+def _prove_bridge_values(bits, s_1, half_rho, values, blindings,
+                         w_shared, w, bp_proof, slices, weights, gens,
+                         u) -> CompressedBridge:
+    pc = cached_pedersen()
+    h_shared, _ = _split_h(gens, slices)
+    t = _bridge_transcript(w_shared, w, bp_proof, slices, "values")
+    v2, cs = _values_v2(t, slices, weights)
+    g_vec = h_shared + [pc.B, pc.B_blinding]
+    v_agg = sum(c_ * v_ for c_, v_ in zip(cs, values)) % L
+    r_agg = sum(c_ * r_ for c_, r_ in zip(cs, blindings)) % L
+    v1 = list(bits) + [v_agg, r_agg]
+    assert sum(a * b for a, b in zip(v1, v2)) % L == 0, \
+        "bridge identity failed (weighted recombination mismatch)"
+    h_vec = _bridge_h(len(v2))
+    vs = bp_proof.commitments[:len(slices)]
+    t_sh = w_shared + cv.msm(cs, vs) + cv.msm(v2, h_vec)
+    ipp_sh = lp_ipp.create(t, v1, v2, half_rho, t_sh, g_vec, h_vec, u)
+    ipp_un = _prove_unshared(t, s_1, half_rho, w_shared, w, slices,
+                             gens, u)
+    return CompressedBridge("values", ipp_sh, ipp_un)
+
+
+def _prove_unshared(t, s_1, half_rho, w_shared, w, slices, gens, u):
+    """Compressed PoK of an opening of w - w_shared over the RESTRICTED
+    set (h_unshared, g, u): the ZK IPP degenerates (v_2 = 0, identity
+    right-generators) into a log-size proof of opening — binding on
+    the left generators alone pins the exponents."""
+    l = len(s_1)
+    g_un, shared_idx = _unshared_vectors(gens, slices, l)
+    s_2 = [1 - b for b in s_1]
+    v1 = [s_1[i] for i in range(l) if i not in shared_idx] + s_2
+    v2 = [0] * len(v1)
+    h_id = [cv.IDENTITY] * len(v1)
+    t_un = w + w_shared * (L - 1)   # w - w_shared
+    return lp_ipp.create(t, v1, v2, half_rho, t_un, g_un, h_id, u)
 
 
 def _offset(slices, j) -> int:
@@ -231,30 +375,34 @@ def _split_h(gens, slices):
     return h_shared, h_unshared
 
 
-def _verify_bridge(br: SchnorrBridge, w_shared, w, vs, slices, weights,
-                   gens, u) -> bool:
+def _verify_bridge(br: CompressedBridge, w_shared, w, bp_proof, slices,
+                   weights, gens, u, l) -> bool:
     pc = cached_pedersen()
-    h_shared, h_unshared = _split_h(gens, slices)
-    if (len(br.z_bits) != len(h_shared)
-            or len(br.z_un) != len(h_unshared) + len(gens.g)
-            or len(br.z_rho_v) != len(vs)):
+    h_shared, _ = _split_h(gens, slices)
+    n_bits = len(h_shared)
+    t = _bridge_transcript(w_shared, w, bp_proof, slices, br.mode)
+    if br.mode == "wires":
+        from sunscreen_tpu.zk.pedersen import cached_bp_gens
+        n = 1 << len(bp_proof.r1cs.ipp_proof.L_vec)
+        bp = cached_bp_gens(n)
+        v2 = _wires_v2(t, n_bits, n)
+        g_vec = h_shared + [pc.B_blinding] + bp.G[:n] + bp.H[:n]
+        t_sh = w_shared + bp_proof.r1cs.A_I1
+    else:
+        v2, cs = _values_v2(t, slices, weights)
+        g_vec = h_shared + [pc.B, pc.B_blinding]
+        vs = bp_proof.commitments[:len(slices)]
+        t_sh = w_shared + cv.msm(cs, vs)
+    if len(v2) != len(g_vec):
         return False
-    c = _bridge_transcript(w_shared, w, vs, br.a_h, br.a_un, br.a_v)
-    lhs = cv.msm(br.z_bits + [br.z_rho_h], h_shared + [u])
-    if lhs != br.a_h + w_shared * c:
+    h_vec = _bridge_h(len(v2))
+    t_sh = t_sh + cv.msm(v2, h_vec)
+    if not lp_ipp.verify(br.ipp_shared, t, t_sh, 0, g_vec, h_vec, u):
         return False
-    lhs_un = cv.msm(br.z_un + [br.z_rho_un],
-                    h_unshared + list(gens.g) + [u])
-    if lhs_un != br.a_un + (w - w_shared) * c:
-        return False
-    for j, (lo, hi) in enumerate(slices):
-        off = _offset(slices, j)
-        wsum = sum(w_ * z for w_, z in zip(
-            weights[j], br.z_bits[off:off + hi - lo])) % L
-        lhs_v = pc.B * wsum + pc.B_blinding * br.z_rho_v[j]
-        if lhs_v != br.a_v[j] + vs[j] * c:
-            return False
-    return True
+    g_un, _ = _unshared_vectors(gens, slices, l)
+    h_id = [cv.IDENTITY] * len(g_un)
+    t_un = w + w_shared * (L - 1)   # w - w_shared
+    return lp_ipp.verify(br.ipp_unshared, t, t_un, 0, g_un, h_id, u)
 
 
 # -- builder -----------------------------------------------------------------
@@ -439,32 +587,26 @@ class LogProofBuilder:
             u, half_rho=half_rho, shared_indices=shared_cols)
         slices = [vk.b_slices()[m.message_id][0] for m in self._links]
 
-        # R1CS proof with the linked values first
+        # R1CS proof with the linked values first (committed inputs)
         backend = BulletproofsBackend()
         prog = zkp_program.build()
-        private = [m.value for m in self._links] \
-            + [int(x) for x in extra_private_inputs]
+        values = [m.value for m in self._links]
+        private = values + [int(x) for x in extra_private_inputs]
         bp_proof, blindings = backend.prove_with_blindings(
             prog, private, [int(x) for x in public_inputs],
             [int(x) for x in constant_inputs])
 
         # bridge
         s_1 = lr._binary_expand(vk, pk_know.s)
-        s_2 = [1 - b for b in s_1]
-        shared_idx = set()
-        for lo, hi in slices:
-            shared_idx.update(range(lo, hi))
         bits = []
         for lo, hi in slices:
             bits.extend(s_1[lo:hi])
-        unshared_exps = [s_1[i] for i in range(vk.l)
-                         if i not in shared_idx] + s_2
         weights = [m.weights[:hi - lo]
                    for m, (lo, hi) in zip(self._links, slices)]
-        vs = bp_proof.commitments[:len(self._links)]
-        bridge = _prove_bridge(bits, unshared_exps, half_rho, blindings,
-                               sdlp_proof.w_shared, sdlp_proof.w, vs,
-                               slices, weights, gens, u)
+        bridge = _prove_bridge_values(
+            bits, s_1, half_rho, values, blindings[:len(values)],
+            sdlp_proof.w_shared, sdlp_proof.w, bp_proof, slices,
+            weights, gens, u)
         return LinkedProof(sdlp_proof, vk, slices, weights, bp_proof,
                            bridge)
 
@@ -474,11 +616,11 @@ class LogProofBuilder:
         """Typed in-circuit links: raise the linked message columns to
         full plaintext bounds with the type's degree bound, share their
         complete bit expansions, feed the bits as the BP's first
-        private inputs, and bridge EACH bit to its own input commitment
-        (reference surface: `#[linked] x: BfvSigned`,
-        `types/zkp/bfv_plaintext.rs` + `builder.rs:947-951`; mechanism
-        delta: per-bit Schnorr bridge instead of shared-generator
-        A_I1 == w_shared, see module docstring)."""
+        private inputs (uncommitted low-level wires), and bind them to
+        A_I1 with the O(log l) wires bridge (reference surface:
+        `#[linked] x: BfvSigned`, `types/zkp/bfv_plaintext.rs` +
+        `builder.rs:947-951`; mechanism delta from shared-generator
+        A_I1 == w_shared, see `CompressedBridge` docstring)."""
         params = self.ctx.params
         t = params.plain_modulus
         linked_types = zkp_program.linked_types
@@ -523,29 +665,21 @@ class LogProofBuilder:
         # the same layout _LinkedTypeMeta.make_node nests)
         s_1 = lr._binary_expand(vk, pk_know.s)
         bits = []
-        bit_slices = []
         for lo, hi in msg_slices:
             bits.extend(s_1[lo:hi])
-            bit_slices.extend((p, p + 1) for p in range(lo, hi))
-        bit_weights = [[1]] * len(bits)
 
+        # bits ride as UNCOMMITTED low-level wires (no per-bit V
+        # commitments); the wires bridge binds them to A_I1
         backend = BulletproofsBackend()
         prog = zkp_program.build(params=params)
         private = bits + [int(x) for x in extra_private_inputs]
-        bp_proof, blindings = backend.prove_with_blindings(
+        bp_proof, _, witness = backend.prove_with_witness(
             prog, private, [int(x) for x in public_inputs],
-            [int(x) for x in constant_inputs])
+            [int(x) for x in constant_inputs],
+            lowlevel_prefix=len(bits))
 
-        shared_idx = set()
-        for lo, hi in msg_slices:
-            shared_idx.update(range(lo, hi))
-        unshared_exps = [s_1[i] for i in range(vk.l)
-                         if i not in shared_idx] \
-            + [1 - b for b in s_1]
-        vs = bp_proof.commitments[:len(bits)]
-        bridge = _prove_bridge(bits, unshared_exps, half_rho,
-                               blindings[:len(bits)],
-                               sdlp_proof.w_shared, sdlp_proof.w, vs,
-                               bit_slices, bit_weights, gens, u)
-        return LinkedProof(sdlp_proof, vk, bit_slices, bit_weights,
+        bridge = _prove_bridge_wires(
+            bits, s_1, half_rho, sdlp_proof.w_shared, sdlp_proof.w,
+            bp_proof, witness, msg_slices, gens, u)
+        return LinkedProof(sdlp_proof, vk, msg_slices, [],
                            bp_proof, bridge, params=params)

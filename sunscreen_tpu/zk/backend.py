@@ -218,6 +218,14 @@ class BulletproofsBackend:
                              - LinearCombination.constant(n.data % f))
         return lcs
 
+    @staticmethod
+    def lowlevel_var(j: int):
+        """R1CS wire holding low-level private input j: bits are packed
+        two per multiplier gate (a_L[g] = input 2g, a_R[g] = input
+        2g+1), gates allocated FIRST so gate index == j // 2."""
+        from sunscreen_tpu.zk.r1cs import Variable
+        return Variable("mult_l" if j % 2 == 0 else "mult_r", j // 2)
+
     def prove(self, prog: ZkpProgram, private_inputs, public_inputs=(),
               constant_inputs=()) -> BulletproofsProof:
         proof, _ = self.prove_with_blindings(
@@ -225,40 +233,83 @@ class BulletproofsBackend:
         return proof
 
     def prove_with_blindings(self, prog: ZkpProgram, private_inputs,
-                             public_inputs=(), constant_inputs=()
+                             public_inputs=(), constant_inputs=(),
+                             lowlevel_prefix: int = 0
                              ) -> tuple[BulletproofsProof, list[int]]:
-        """Also returns the Pedersen blindings of the committed private
-        inputs (in commitment order) — needed by linked proofs to bind
-        these commitments to an SDLP's shared commitment."""
+        proof, blindings, _ = self.prove_with_witness(
+            prog, private_inputs, public_inputs, constant_inputs,
+            lowlevel_prefix)
+        return proof, blindings
+
+    def prove_with_witness(self, prog: ZkpProgram, private_inputs,
+                           public_inputs=(), constant_inputs=(),
+                           lowlevel_prefix: int = 0):
+        """Returns (proof, blindings, witness). `blindings` are the
+        Pedersen blindings of the committed private inputs (commitment
+        order) and `witness` is the opening of the proof's low-level
+        witness commitment A_I1 — dict with i_blinding / a_L / a_R /
+        n (padded gate count) — both needed by linked proofs to bind
+        the BP witness to an SDLP's shared commitment.
+
+        The first `lowlevel_prefix` private inputs are allocated as
+        UNCOMMITTED multiplier wires (two per gate, gates first)
+        instead of Pedersen-committed values: no per-input V point in
+        the proof, used for linked bit expansions (the reference gets
+        the same effect by routing shared values through the dalek
+        fork's first-phase low-level allocation,
+        `sunscreen_runtime/src/linked.rs`)."""
         f = self.FIELD_MODULUS
         vals = evaluate(prog, f, private_inputs, public_inputs,
                         constant_inputs)
         prover = Prover(Transcript(self.TRANSCRIPT_LABEL))
-        committed: dict[int, object] = {}
+        node_vars: dict[int, object] = {}
+        lowlevel_nodes: dict[int, int] = {}   # node idx -> input idx
+        for i, n in enumerate(prog.nodes):
+            if (n.op == ZkpOp.PRIVATE_INPUT
+                    and n.data < lowlevel_prefix):
+                lowlevel_nodes[i] = n.data
+        for g in range(0, lowlevel_prefix, 2):
+            l_val = private_inputs[g] % f
+            r_val = (private_inputs[g + 1] % f
+                     if g + 1 < lowlevel_prefix else 0)
+            prover.allocate_multiplier(l_val, r_val)
+        for i, j in lowlevel_nodes.items():
+            node_vars[i] = self.lowlevel_var(j)
         commitments: list[cv.Point] = []
         for i, n in enumerate(prog.nodes):
+            if i in node_vars:
+                continue
             if n.op in (ZkpOp.PRIVATE_INPUT, ZkpOp.HIDDEN_INPUT):
                 V, var = prover.commit(vals[i])
-                committed[i] = var
+                node_vars[i] = var
                 commitments.append(V)
-        self._gen_circuit(prog, prover, committed, public_inputs,
+        self._gen_circuit(prog, prover, node_vars, public_inputs,
                           constant_inputs, vals)
-        return (BulletproofsProof(prover.prove(), commitments),
-                list(prover.v_blinding))
+        proof = BulletproofsProof(prover.prove(), commitments)
+        witness = {"i_blinding": prover.i_blinding,
+                   "a_L": list(prover.a_L), "a_R": list(prover.a_R),
+                   "n": prover.padded_n}
+        return proof, list(prover.v_blinding), witness
 
     def verify(self, prog: ZkpProgram, proof: BulletproofsProof,
-               public_inputs=(), constant_inputs=()) -> bool:
+               public_inputs=(), constant_inputs=(),
+               lowlevel_prefix: int = 0) -> bool:
         verifier = Verifier(Transcript(self.TRANSCRIPT_LABEL))
-        committed: dict[int, object] = {}
+        node_vars: dict[int, object] = {}
+        for _ in range(0, lowlevel_prefix, 2):
+            verifier.allocate_multiplier()
         idx = 0
         for i, n in enumerate(prog.nodes):
-            if n.op in (ZkpOp.PRIVATE_INPUT, ZkpOp.HIDDEN_INPUT):
+            if (n.op == ZkpOp.PRIVATE_INPUT
+                    and n.data < lowlevel_prefix):
+                node_vars[i] = self.lowlevel_var(n.data)
+            elif n.op in (ZkpOp.PRIVATE_INPUT, ZkpOp.HIDDEN_INPUT):
                 if idx >= len(proof.commitments):
                     return False
-                committed[i] = verifier.commit(proof.commitments[idx])
+                node_vars[i] = verifier.commit(proof.commitments[idx])
                 idx += 1
         if idx != len(proof.commitments):
             return False
-        self._gen_circuit(prog, verifier, committed, public_inputs,
+        self._gen_circuit(prog, verifier, node_vars, public_inputs,
                           constant_inputs, None)
         return verifier.verify(proof.r1cs)

@@ -171,6 +171,49 @@ def test_linked_bfv_signed_range_proof(rt_keys):
     assert not proof.verify(in_balance, public_inputs=[40000])
 
 
+def test_compressed_bridge_size(rt_keys):
+    """The bridge is two log-size ZK IPPs — O(log l), NOT O(l) scalars
+    or one commitment per shared bit — and typed linked bits ride as
+    uncommitted BP wires (no per-bit V points in the BP proof)."""
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+
+    @zkp_program()
+    def anything(x: Linked[BfvSigned]):
+        x.into_field_elem().constrain_eq(x.into_field_elem())
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Signed(7), pub, seed=31)
+    proof = builder.build_linked(anything)
+    n_bits = sum(hi - lo for lo, hi in proof.shared_slices)
+    assert n_bits > 100          # the link really spans a bit expansion
+    sizes = proof.size_bytes()
+    assert sizes["bridge"] < 4096, sizes
+    # no per-bit commitments: only gadget hidden inputs are committed
+    assert len(proof.bp_proof.commitments) < n_bits / 4
+    assert proof.verify(anything)
+
+
+def test_compressed_bridge_tamper_rejected(rt_keys):
+    """Flipping the shared IPP of the bridge must fail verification."""
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+
+    @zkp_program()
+    def anything2(x: Linked[BfvSigned]):
+        x.constrain_fresh_encoding()
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Signed(9), pub, seed=32)
+    proof = builder.build_linked(anything2)
+    assert proof.verify(anything2)
+    proof.bridge.ipp_shared, proof.bridge.ipp_unshared = \
+        proof.bridge.ipp_unshared, proof.bridge.ipp_shared
+    assert not proof.verify(anything2)
+
+
 def test_linked_type_mismatch_rejected(rt_keys):
     from sunscreen_tpu.types import Unsigned64
     from sunscreen_tpu.types.zkp_types import BfvRational, Linked
