@@ -166,11 +166,18 @@ class LinkedProof:
 
     sdlp: lr.LogProof
     vk: lr.VerifierKnowledge
-    shared_slices: list[tuple[int, int]]   # bit ranges per linked poly
-    weights: list[list[int]]               # values mode only
+    message_ids: list[int]   # linked message columns, one per poly
     bp_proof: BulletproofsProof
     bridge: CompressedBridge
     params: object = None   # BfvParams when the program has linked args
+
+    @property
+    def shared_slices(self) -> list[tuple[int, int]]:
+        """Bit ranges of the linked polynomials inside s_1 — DERIVED
+        from the verified statement (vk) and the linked message ids,
+        never trusted from prover-supplied proof fields."""
+        all_slices = self.vk.b_slices()
+        return [all_slices[mid][0] for mid in self.message_ids]
 
     def size_bytes(self) -> dict:
         """Per-component serialized sizes (the bridge is O(log l);
@@ -181,39 +188,49 @@ class LinkedProof:
                 "bridge": len(self.bridge.to_bytes())}
 
     def verify(self, zkp_program, public_inputs=(),
-               constant_inputs=()) -> bool:
+               constant_inputs=(), expected_message_ids=None) -> bool:
+        """Pass `expected_message_ids` to additionally pin WHICH
+        statement messages the zkp program's inputs are linked to
+        (applications verifying against specific ciphertexts should
+        check this; the ids index the statements in `vk`)."""
+        if (expected_message_ids is not None
+                and list(expected_message_ids) != list(self.message_ids)):
+            return False
         gens = _cached_generators(self.vk.l)
         u = lp_ipp.get_u()
         # 1. the SDLP
         if not lr.verify(self.sdlp, Transcript(SDLP_TRANSCRIPT_LABEL),
                          self.vk, gens.g, gens.h, u):
             return False
+        # slices + recombination weights derive from vk (canonical
+        # 2's-complement), NOT from prover-controlled proof fields
+        slices = self.shared_slices
+        n_bits = sum(hi - lo for lo, hi in slices)
         # 2. the R1CS proof
         backend = BulletproofsBackend()
-        n_bits = sum(hi - lo for lo, hi in self.shared_slices)
         if getattr(zkp_program, "linked_types", None):
             if self.params is None or self.bridge.mode != "wires":
                 return False
             prog = zkp_program.build(params=self.params)
             lowlevel = n_bits
+            weights = []
         else:
             if self.bridge.mode != "values":
                 return False
             prog = zkp_program.build()
             lowlevel = 0
+            weights = [_canonical_weights(hi - lo) for lo, hi in slices]
         if not backend.verify(prog, self.bp_proof, public_inputs,
                               constant_inputs,
                               lowlevel_prefix=lowlevel):
             return False
         # 3. the bridge
         if self.bridge.mode == "values":
-            n_linked = len(self.shared_slices)
-            if len(self.bp_proof.commitments) < n_linked:
+            if len(self.bp_proof.commitments) < len(slices):
                 return False
         return _verify_bridge(self.bridge, self.sdlp.w_shared,
                               self.sdlp.w, self.bp_proof,
-                              self.shared_slices, self.weights,
-                              gens, u, self.vk.l)
+                              slices, weights, gens, u, self.vk.l)
 
 
 _GEN_CACHE: dict[int, lr.LogProofGenerators] = {}
@@ -356,6 +373,16 @@ def _prove_unshared(t, s_1, half_rho, w_shared, w, slices, gens, u):
     h_id = [cv.IDENTITY] * len(v1)
     t_un = w + w_shared * (L - 1)   # w - w_shared
     return lp_ipp.create(t, v1, v2, half_rho, t_un, g_un, h_id, u)
+
+
+def _canonical_weights(width: int) -> list[int]:
+    """Canonical 2's-complement recombination weights for a values-mode
+    link: bound-1 messages serialize to 2 bits/coefficient, coefficient
+    c contributes lift(digit_c)·2^c (the layout `_link_message`
+    produces). Recomputed by the VERIFIER from the slice width so a
+    prover cannot substitute weights."""
+    tc = twos_complement_coeffs(2)
+    return [(1 << c) * w % L for c in range(width // 2) for w in tc]
 
 
 def _offset(slices, j) -> int:
@@ -596,19 +623,19 @@ class LogProofBuilder:
             prog, private, [int(x) for x in public_inputs],
             [int(x) for x in constant_inputs])
 
-        # bridge
+        # bridge (canonical weights — the verifier re-derives them)
         s_1 = lr._binary_expand(vk, pk_know.s)
         bits = []
         for lo, hi in slices:
             bits.extend(s_1[lo:hi])
-        weights = [m.weights[:hi - lo]
-                   for m, (lo, hi) in zip(self._links, slices)]
+        weights = [_canonical_weights(hi - lo) for lo, hi in slices]
         bridge = _prove_bridge_values(
             bits, s_1, half_rho, values, blindings[:len(values)],
             sdlp_proof.w_shared, sdlp_proof.w, bp_proof, slices,
             weights, gens, u)
-        return LinkedProof(sdlp_proof, vk, slices, weights, bp_proof,
-                           bridge)
+        return LinkedProof(sdlp_proof, vk,
+                           [m.message_id for m in self._links],
+                           bp_proof, bridge)
 
     def _build_linked_circuit(self, zkp_program, extra_private_inputs,
                               public_inputs, constant_inputs
@@ -681,5 +708,7 @@ class LogProofBuilder:
         bridge = _prove_bridge_wires(
             bits, s_1, half_rho, sdlp_proof.w_shared, sdlp_proof.w,
             bp_proof, witness, msg_slices, gens, u)
-        return LinkedProof(sdlp_proof, vk, msg_slices, [],
+        return LinkedProof(sdlp_proof, vk,
+                           [mid for m in self._links
+                            for mid in m.message_ids],
                            bp_proof, bridge, params=params)

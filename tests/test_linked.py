@@ -50,6 +50,10 @@ def test_linked_proof_roundtrip(rt_keys):
     assert proof.verify(in_range)
     # the ciphertext really encrypts the linked value
     assert rt.decrypt(ct, priv) == 200
+    # applications can pin WHICH statement message is linked
+    assert proof.verify(in_range, expected_message_ids=[link.message_id])
+    assert not proof.verify(in_range,
+                            expected_message_ids=[link.message_id + 1])
 
 
 def test_linked_proof_public_equality(rt_keys):
@@ -212,6 +216,42 @@ def test_compressed_bridge_tamper_rejected(rt_keys):
     proof.bridge.ipp_shared, proof.bridge.ipp_unshared = \
         proof.bridge.ipp_unshared, proof.bridge.ipp_shared
     assert not proof.verify(anything2)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SUNSCREEN_TPU_SLOW_TESTS"),
+    reason="~8 min; run with SUNSCREEN_TPU_SLOW_TESTS=1")
+def test_linked_proof_at_production_parameters():
+    """A COMPLETE linked proof (SDLP + BP + compressed bridge) at the
+    reference's production regime N=1024/k=2 (`logproof/tests/seal.rs`
+    scale): feasible only because the bridge is O(log l) — the earlier
+    per-bit Schnorr would have cost ~18 MB of response scalars at
+    l≈280k."""
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+
+    @zkp_program()
+    def prod_balance(balance: Linked[BfvSigned],
+                     unshielded: Public[Field]):
+        balance.constrain_fresh_encoding()
+        diff = balance.into_field_elem() - unshielded
+        diff.to_unsigned(16)
+        unshielded.to_unsigned(16)
+
+    params = BfvParams.insecure(poly_degree=1024, limbs=2,
+                                limb_bits=28)
+    rt = Runtime.new_fhe_zkp(params)
+    pub, priv = rt.generate_keys(seed=4, galois=False, relin=False)
+    builder = LogProofBuilder(rt)
+    ct, link = builder.encrypt_returning_link(Signed(1000), pub,
+                                              seed=41)
+    proof = builder.build_linked(prod_balance, public_inputs=[400])
+    assert proof.vk.l > 100_000
+    sizes = proof.size_bytes()
+    assert sizes["bridge"] < 8192, sizes   # O(log l), not O(l)
+    assert proof.verify(prod_balance, public_inputs=[400])
+    assert not proof.verify(prod_balance, public_inputs=[40000])
+    assert rt.decrypt(ct, priv) == 1000
 
 
 def test_linked_type_mismatch_rejected(rt_keys):
