@@ -37,8 +37,10 @@ def main():
     proof = builder.build_linked(valid_deposit)
 
     # the verifier (chain) checks: ciphertext is a valid encryption of
-    # SOME value, and that value satisfies the zkp circuit
-    assert proof.verify(valid_deposit)
+    # SOME value, and that value satisfies the zkp circuit. It pins
+    # WHICH statement message the circuit input is linked to.
+    assert proof.verify(valid_deposit,
+                        expected_message_ids=[link.message_id])
     print("deposit proof verified: ciphertext validly encrypts a "
           "nonzero <2^16 amount (amount stays hidden)")
 

@@ -281,6 +281,7 @@ class BfvStatements:
         t_mat = [[p] for p in rows_t]
         bounds = [[bounds_cols[c]] for c in range(n_cols)]
         vk = VerifierKnowledge(
-            a=a_mat, t=t_mat, bounds=bounds, f=f, q=q)
+            a=a_mat, t=t_mat, bounds=bounds, f=f, q=q,
+            n_messages=n_msg)
         s_mat = [[s_cols[c]] for c in range(n_cols)]
         return vk, ProverKnowledge(vk, s_mat)

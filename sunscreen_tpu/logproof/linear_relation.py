@@ -56,6 +56,11 @@ class VerifierKnowledge:
     bounds: list         # [m][k] lists of d unsigned-bit-counts
     f: list[int]         # quotient polynomial, degree d
     q: int
+    # statement structure: how many leading witness columns are MESSAGE
+    # columns (set by bfv_statement.build; None for raw statements).
+    # Linked-proof verification uses it to reject message ids that
+    # point at remainder/noise columns.
+    n_messages: int | None = None
 
     @property
     def n(self) -> int:

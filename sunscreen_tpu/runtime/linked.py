@@ -188,13 +188,34 @@ class LinkedProof:
                 "bridge": len(self.bridge.to_bytes())}
 
     def verify(self, zkp_program, public_inputs=(),
-               constant_inputs=(), expected_message_ids=None) -> bool:
-        """Pass `expected_message_ids` to additionally pin WHICH
-        statement messages the zkp program's inputs are linked to
-        (applications verifying against specific ciphertexts should
-        check this; the ids index the statements in `vk`)."""
+               constant_inputs=(), expected_message_ids=None,
+               expected_link_count=None, params=None) -> bool:
+        """Pass `expected_message_ids` to pin WHICH statement messages
+        the zkp program's inputs are linked to (applications verifying
+        against specific ciphertexts should check this; the ids index
+        the statements in `vk`). Programs WITHOUT typed `Linked[...]`
+        args (compact values mode) additionally REQUIRE either
+        `expected_message_ids` or `expected_link_count` — the program
+        signature cannot reveal how many of its private inputs are
+        linked, so an unpinned count would let a prover choose it.
+        `params`: the verifying application's BfvParams; when omitted
+        for typed-link programs, the proof's embedded params are used
+        but cross-checked against the verified statement (q, degree)."""
+        mids = list(self.message_ids)
         if (expected_message_ids is not None
-                and list(expected_message_ids) != list(self.message_ids)):
+                and list(expected_message_ids) != mids):
+            return False
+        # -- structural validation of the prover-supplied message_ids
+        # (advisor r3-high): duplicates would alias h_shared generators,
+        # reducing Pedersen binding to the SUM of the duplicated
+        # openings; out-of-range / non-message ids must fail closed.
+        all_slices = self.vk.b_slices()
+        limit = (self.vk.n_messages if self.vk.n_messages is not None
+                 else len(all_slices))
+        if len(set(mids)) != len(mids):
+            return False
+        if any(not isinstance(m, int) or isinstance(m, bool)
+               or not 0 <= m < limit for m in mids):
             return False
         gens = _cached_generators(self.vk.l)
         u = lp_ipp.get_u()
@@ -204,19 +225,55 @@ class LinkedProof:
             return False
         # slices + recombination weights derive from vk (canonical
         # 2's-complement), NOT from prover-controlled proof fields
-        slices = self.shared_slices
+        slices = [all_slices[mid][0] for mid in mids]
         n_bits = sum(hi - lo for lo, hi in slices)
         # 2. the R1CS proof
         backend = BulletproofsBackend()
         if getattr(zkp_program, "linked_types", None):
-            if self.params is None or self.bridge.mode != "wires":
+            if self.bridge.mode != "wires":
                 return False
-            prog = zkp_program.build(params=self.params)
+            p = params if params is not None else self.params
+            if p is None:
+                return False
+            # cross-check (possibly prover-supplied) params against the
+            # verified statement so the circuit's recombination
+            # semantics cannot be redefined (advisor r3-medium): q and
+            # poly degree must match vk, and each linked polynomial's
+            # slice width must equal the typed arg's bit layout under
+            # these params. That pins ceil_log2(t) + the degree bounds
+            # — the ONLY channels through which params enter the traced
+            # circuit (see _BfvPlaintextNode: recombination weights are
+            # pure 2's-complement over the bit grid).
+            from sunscreen_tpu.types.zkp_types import _bits_per_coeff
+            if (getattr(p, "q_product", None) != self.vk.q
+                    or getattr(p, "poly_degree", None) != self.vk.d):
+                return False
+            want_widths = []
+            for lt in zkp_program.linked_types:
+                d_bound = min(lt.DEGREE_BOUND, p.poly_degree)
+                want_widths.extend(
+                    [d_bound * _bits_per_coeff(p.plain_modulus)]
+                    * lt.N_POLYS)
+            if [hi - lo for lo, hi in slices] != want_widths:
+                return False
+            # consistency with the statement: every linked message
+            # column must appear in some row with coefficient Δ = q//t
+            # (pins t to Δ's floor window; exact when q > t^2)
+            delta = (self.vk.q // p.plain_modulus) % self.vk.q
+            for mid in mids:
+                if not any(row[mid] == [delta] for row in self.vk.a):
+                    return False
+            prog = zkp_program.build(params=p)
             lowlevel = n_bits
             weights = []
         else:
             if self.bridge.mode != "values":
                 return False
+            if expected_message_ids is None:
+                if expected_link_count is None:
+                    return False   # fail closed: link count unpinned
+                if len(mids) != expected_link_count:
+                    return False
             prog = zkp_program.build()
             lowlevel = 0
             weights = [_canonical_weights(hi - lo) for lo, hi in slices]
@@ -244,18 +301,17 @@ def _cached_generators(l: int) -> lr.LogProofGenerators:
 
 # -- the compressed bridge ----------------------------------------------------
 
-_BRIDGE_H_CACHE: dict[int, list] = {}
+_BRIDGE_H: list = []   # prefix-stable shake chain, grown on demand
 
 
 def _bridge_h(count: int):
     """Independent right-side generators for the shared-half IPP
     (shake chain label 'bridge-h', disjoint from the SDLP's 'g'/'h'
     chains and the BP generators)."""
-    have = _BRIDGE_H_CACHE.get(0, [])
-    if len(have) < count:
-        _BRIDGE_H_CACHE[0] = lr.generators(count, b"bridge-h")
-        have = _BRIDGE_H_CACHE[0]
-    return have[:count]
+    global _BRIDGE_H
+    if len(_BRIDGE_H) < count:
+        _BRIDGE_H = lr.generators(count, b"bridge-h")
+    return _BRIDGE_H[:count]
 
 
 def _bridge_transcript(w_shared, w, bp_proof, slices, mode) -> Transcript:

@@ -47,13 +47,17 @@ def test_linked_proof_roundtrip(rt_keys):
                                               seed=11)
     assert link.value == 200
     proof = builder.build_linked(in_range)
-    assert proof.verify(in_range)
+    assert proof.verify(in_range, expected_link_count=1)
     # the ciphertext really encrypts the linked value
     assert rt.decrypt(ct, priv) == 200
     # applications can pin WHICH statement message is linked
     assert proof.verify(in_range, expected_message_ids=[link.message_id])
     assert not proof.verify(in_range,
                             expected_message_ids=[link.message_id + 1])
+    # values mode REQUIRES the verifier to pin the link count/ids
+    # (the plain-Field signature can't reveal it) — unpinned fails
+    assert not proof.verify(in_range)
+    assert not proof.verify(in_range, expected_link_count=2)
 
 
 def test_linked_proof_public_equality(rt_keys):
@@ -62,8 +66,10 @@ def test_linked_proof_public_equality(rt_keys):
     _, link = builder.encrypt_returning_link(Unsigned64(77), pub,
                                              seed=12)
     proof = builder.build_linked(equals_public, public_inputs=[77])
-    assert proof.verify(equals_public, public_inputs=[77])
-    assert not proof.verify(equals_public, public_inputs=[78])
+    assert proof.verify(equals_public, public_inputs=[77],
+                        expected_link_count=1)
+    assert not proof.verify(equals_public, public_inputs=[78],
+                            expected_link_count=1)
 
 
 def test_linked_proof_bad_witness_fails(rt_keys):
@@ -84,7 +90,7 @@ def test_bridge_tamper_rejected(rt_keys):
     p2 = b2.build_linked(in_range)
     # swap the bulletproof (commits a different value) -> bridge fails
     p1.bp_proof = p2.bp_proof
-    assert not p1.verify(in_range)
+    assert not p1.verify(in_range, expected_link_count=1)
 
 
 def test_signed_negative_linked_proof(rt_keys):
@@ -99,8 +105,10 @@ def test_signed_negative_linked_proof(rt_keys):
     assert link.value == (-42) % cv.L
     proof = builder.build_linked(equals_public,
                                  public_inputs=[(-42) % cv.L])
-    assert proof.verify(equals_public, public_inputs=[(-42) % cv.L])
-    assert not proof.verify(equals_public, public_inputs=[42])
+    assert proof.verify(equals_public, public_inputs=[(-42) % cv.L],
+                        expected_message_ids=[link.message_id])
+    assert not proof.verify(equals_public, public_inputs=[42],
+                            expected_link_count=1)
     assert rt.decrypt(ct, priv) == -42
 
 
@@ -111,7 +119,8 @@ def test_decrypt_returning_link(rt_keys):
     value, link = builder.decrypt_returning_link(ct, priv)
     assert value == 99 and link.value == 99
     proof = builder.build_linked(equals_public, public_inputs=[99])
-    assert proof.verify(equals_public, public_inputs=[99])
+    assert proof.verify(equals_public, public_inputs=[99],
+                        expected_link_count=1)
 
 
 def test_reencrypt_statement(rt_keys):
@@ -269,3 +278,87 @@ def test_linked_type_mismatch_rejected(rt_keys):
     builder.encrypt_returning_link(Unsigned64(5), pub, seed=23)
     with pytest.raises(TypeError):
         builder.build_linked(rational_prog)
+
+
+# -- hostile-proof structural validation (advisor r3 findings) --------------
+
+def test_duplicate_message_ids_rejected(rt_keys):
+    """message_ids=[mid, mid] must fail closed: duplicated ids alias
+    h_shared generators, weakening Pedersen binding to the SUM of the
+    duplicated openings (advisor r3-high)."""
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    _, link = builder.encrypt_returning_link(Unsigned64(9), pub, seed=41)
+    proof = builder.build_linked(in_range)
+    mid = proof.message_ids[0]
+    proof.message_ids = [mid, mid]
+    assert not proof.verify(in_range, expected_link_count=2)
+    assert not proof.verify(in_range, expected_message_ids=[mid, mid])
+
+
+def test_hostile_message_ids_fail_closed(rt_keys):
+    """Out-of-range / non-message-column ids return False (never raise
+    IndexError), and bool/negative ids are rejected."""
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Unsigned64(9), pub, seed=42)
+    proof = builder.build_linked(in_range)
+    for bad in ([10**6], [-1], [proof.vk.n_messages], [True]):
+        proof2_ids = proof.message_ids
+        proof.message_ids = bad
+        try:
+            assert not proof.verify(in_range,
+                                    expected_message_ids=list(bad))
+        finally:
+            proof.message_ids = proof2_ids
+
+
+def test_wires_mode_forged_params_rejected(rt_keys):
+    """The circuit must not be built from prover-controlled params:
+    a proof shipping params that disagree with the verified statement
+    (different t / degree / q) fails (advisor r3-medium)."""
+    import dataclasses
+
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+
+    @zkp_program()
+    def fresh_ok(x: Linked[BfvSigned]):
+        x.constrain_fresh_encoding()
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Signed(3), pub, seed=43)
+    proof = builder.build_linked(fresh_ok)
+    good = proof.params
+    assert proof.verify(fresh_ok)
+    # the verifying application can (and should) supply params itself
+    assert proof.verify(fresh_ok, params=good)
+    # plain-modulus forgery changing the bit layout: the slice-width
+    # check pins ceil_log2(t)+1 (the ONLY channel through which t
+    # enters the circuit; same-bit-length t builds an identical
+    # circuit, so pinning the bit length pins the semantics)
+    proof.params = dataclasses.replace(good,
+                                       plain_modulus=good.plain_modulus * 4)
+    assert not proof.verify(fresh_ok)
+    # plain modulus inconsistent with the statement's Δ = q//t rows
+    # (same bit length, different floor window)
+    proof.params = dataclasses.replace(good,
+                                       plain_modulus=good.plain_modulus
+                                       + 100)
+    assert not proof.verify(fresh_ok)
+    # degree forgery
+    proof.params = dataclasses.replace(good, poly_degree=128)
+    assert not proof.verify(fresh_ok)
+    # params stripped entirely
+    proof.params = None
+    assert not proof.verify(fresh_ok)
+    # application-supplied params override the forged/absent field
+    assert proof.verify(fresh_ok, params=good)
+    proof.params = good
+    # wires-mode id-count forgery: fewer/more ids than the typed args
+    mid = proof.message_ids[0]
+    proof.message_ids = []
+    assert not proof.verify(fresh_ok)
+    proof.message_ids = [mid, mid + 1]
+    assert not proof.verify(fresh_ok)
