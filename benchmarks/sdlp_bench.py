@@ -60,13 +60,13 @@ def main():
 
     t0 = time.perf_counter()
     proof = create(Transcript(b"bfv-sdlp"), pk_know, gens.g, gens.h,
-                   u_gen)
+                   u_gen, gens=gens)
     t_create = time.perf_counter() - t0
     print(f"create: {t_create:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     ok = verify(proof, Transcript(b"bfv-sdlp"), vk, gens.g, gens.h,
-                u_gen)
+                u_gen, gens=gens)
     t_verify = time.perf_counter() - t0
     print(f"verify: {t_verify:.1f}s ok={ok}", flush=True)
     assert ok

@@ -41,9 +41,58 @@ def generators(count: int, label: bytes) -> list[cv.Point]:
 
 
 class LogProofGenerators:
+    """Fixed g/h generator chains plus lazily-cached native buffers
+    (128B extended coordinates per point) and the h-sum — reused
+    across every proof in a process so the MSM hot paths never
+    re-marshal python Points."""
+
     def __init__(self, count: int):
         self.g = generators(count, b"g")
         self.h = generators(count, b"h")
+        self._g_buf = None
+        self._h_buf = None
+        self._h_sum = None
+
+    @property
+    def g_buf(self) -> bytes:
+        if self._g_buf is None:
+            from sunscreen_tpu.zk import native
+            self._g_buf = native._points_to_buf(self.g)
+        return self._g_buf
+
+    @property
+    def h_buf(self) -> bytes:
+        if self._h_buf is None:
+            from sunscreen_tpu.zk import native
+            self._h_buf = native._points_to_buf(self.h)
+        return self._h_buf
+
+    @property
+    def h_sum(self) -> cv.Point:
+        if self._h_sum is None:
+            from sunscreen_tpu.zk import native
+            pt = native.msm_buf([1] * len(self.h), self.h_buf,
+                                len(self.h))
+            if pt is None:
+                pt = cv.IDENTITY
+                for p in self.h:
+                    pt = pt + p
+            self._h_sum = pt
+        return self._h_sum
+
+
+# identity point in the 128B extended-coordinate buffer layout
+IDENTITY_BUF = (b"\x00" * 32 + (1).to_bytes(32, "little") * 2
+                + b"\x00" * 32)
+
+
+def _pad_buf_pow2(buf: bytes, n: int) -> bytes:
+    """Pad an n-point buffer with identity points to the next power of
+    two (the IPP's generator padding, buffer form)."""
+    target = 1 << max(0, (n - 1).bit_length())
+    if target == n:
+        return buf
+    return bytes(buf) + IDENTITY_BUF * (target - n)
 
 
 @dataclass
@@ -169,6 +218,11 @@ def _challenge_scalars(t: Transcript, label: bytes, count: int
                        ) -> list[int]:
     """128-way forked batch challenge generation (reference:
     `transcript.rs` challenge_scalars — fork, draw, re-join)."""
+    from sunscreen_tpu.zk import native
+    if native.get_lib() is not None:
+        out = native.fork_challenges(t.strobe, label, count)
+        if out is not None:
+            return out
     num_batches = 128
     batches = []
     for i in range(num_batches):
@@ -361,63 +415,123 @@ def _compute_g_prime(g, phi):
 
 def create(transcript: Transcript, pk: ProverKnowledge, g, h, u,
            half_rho: int | None = None,
-           shared_indices: list[tuple[int, int]] | None = None
-           ) -> LogProof:
+           shared_indices: list[tuple[int, int]] | None = None,
+           gens: "LogProofGenerators | None" = None) -> LogProof:
+    """Pass `gens` (the LogProofGenerators that produced g/h) to reuse
+    its cached native point buffers — at production sizes the python
+    Point marshalling otherwise costs seconds per proof."""
+    from sunscreen_tpu.zk import native
     vk = pk.vk
     shared_indices = shared_indices or []
     half_rho = secrets.randbelow(L) if half_rho is None else half_rho
     assert len(g) == vk.l and len(h) == vk.l
+    l = vk.l
+    use_bufs = (native.get_lib() is not None and gens is not None
+                and gens.g is g and gens.h is h)
 
     _append_vk(transcript, vk)
     s_1 = _binary_expand(vk, pk.s)
     s_2 = [1 - b for b in s_1]
 
     slices = vk.b_slices()
-    shared_mask = [False] * vk.l
+    shared_mask = [False] * l
     for (i, j) in shared_indices:
         lo, hi = slices[i][j]
         for p in range(lo, hi):
             shared_mask[p] = True
 
-    w_shared = cv.msm(
-        [s_1[i] for i in range(vk.l) if shared_mask[i]]
-        + [half_rho],
-        [h[i] for i in range(vk.l) if shared_mask[i]] + [u])
-    w_unshared = cv.msm(
-        [s_1[i] for i in range(vk.l) if not shared_mask[i]]
-        + s_2 + [half_rho],
-        [h[i] for i in range(vk.l) if not shared_mask[i]] + list(g) + [u])
+    if use_bufs:
+        import numpy as np
+        u_buf = native._points_to_buf([u])
+        hb = np.frombuffer(gens.h_buf, np.uint8).reshape(l, 128)
+        mask = np.array(shared_mask, dtype=bool)
+        sh_buf = hb[mask].tobytes() + u_buf
+        n_sh = int(mask.sum())
+        w_shared = native.msm_buf(
+            [s_1[i] for i in range(l) if shared_mask[i]] + [half_rho],
+            sh_buf, n_sh + 1)
+        un_buf = hb[~mask].tobytes() + gens.g_buf + u_buf
+        w_unshared = native.msm_buf(
+            [s_1[i] for i in range(l) if not shared_mask[i]]
+            + s_2 + [half_rho], un_buf, (l - n_sh) + l + 1)
+    else:
+        w_shared = cv.msm(
+            [s_1[i] for i in range(l) if shared_mask[i]]
+            + [half_rho],
+            [h[i] for i in range(l) if shared_mask[i]] + [u])
+        w_unshared = cv.msm(
+            [s_1[i] for i in range(l) if not shared_mask[i]]
+            + s_2 + [half_rho],
+            [h[i] for i in range(l) if not shared_mask[i]]
+            + list(g) + [u])
     w = w_shared + w_unshared
 
     transcript.append_point(b"w_shared", w_shared)
     transcript.append_point(b"w", w)
     alpha, beta, gamma, phi, psi = _create_challenges(vk, transcript)
 
-    g_prime = _compute_g_prime(g, phi)
     v = _compute_v(vk, alpha, beta, gamma)
-    t_commit = _compute_t(w, g_prime, h, phi, psi, v)
+    phi_inv = cv.batch_scalar_inv(phi)
+    v_plus_phi = [(vi + psi * pi) % L for vi, pi in zip(v, phi)]
+    if use_bufs:
+        g_prime_buf = native.batch_scalar_mul_buf(phi_inv, gens.g_buf, l)
+        g_prime = None
+        t_1 = native.msm_buf(v_plus_phi, g_prime_buf, l)
+        t_commit = w + t_1 + gens.h_sum * psi
+    else:
+        g_prime = cv.batch_mul(phi_inv, g)
+        g_prime_buf = None
+        t_commit = _compute_t(w, g_prime, h, phi, psi, v)
     v_1 = [(v[i] + phi[i] * s_2[i] + psi * phi[i]) % L
-           for i in range(vk.l)]
-    v_2 = [(s_1[i] + psi) % L for i in range(vk.l)]
+           for i in range(l)]
+    v_2 = [(s_1[i] + psi) % L for i in range(l)]
     rho = 2 * half_rho % L
 
     x = sum(a * b for a, b in zip(v_1, v_2)) % L
     assert x == _compute_x(vk, gamma, alpha, beta, phi, psi, v), \
         "SDLP internal identity failed"
 
-    proof = ipp.create(transcript, v_1, v_2, rho, t_commit, g_prime, h, u)
+    if use_bufs:
+        proof = ipp.create(transcript, v_1, v_2, rho, t_commit, None,
+                           None, u,
+                           g_buf=_pad_buf_pow2(g_prime_buf, l),
+                           h_buf=_pad_buf_pow2(gens.h_buf, l))
+    else:
+        proof = ipp.create(transcript, v_1, v_2, rho, t_commit,
+                           g_prime, h, u)
     return LogProof(w_shared, w, proof)
 
 
 def verify(proof: LogProof, transcript: Transcript,
-           vk: VerifierKnowledge, g, h, u) -> bool:
+           vk: VerifierKnowledge, g, h, u,
+           gens: "LogProofGenerators | None" = None) -> bool:
+    """Pass `gens` to reuse cached generator buffers. phi^-1 scaling
+    is folded into the IPP's MSM scalars (g_coeff) instead of
+    materializing g' = phi^-1 ∘ g with l scalar multiplications."""
+    from sunscreen_tpu.zk import native
+    use_bufs = (native.get_lib() is not None and gens is not None
+                and gens.g is g and gens.h is h)
     _append_vk(transcript, vk)
     transcript.append_point(b"w_shared", proof.w_shared)
     transcript.append_point(b"w", proof.w)
     alpha, beta, gamma, phi, psi = _create_challenges(vk, transcript)
-    g_prime = _compute_g_prime(g, phi)
     v = _compute_v(vk, alpha, beta, gamma)
-    t_commit = _compute_t(proof.w, g_prime, h, phi, psi, v)
+    phi_inv = cv.batch_scalar_inv(phi)
+    # t_commit = w + <(v + psi*phi) o phi^-1, g> + psi*sum(h)
+    #          = w + <v o phi^-1 + psi, g> + psi*sum(h)
+    t1_sc = [(vi * pi + psi) % L for vi, pi in zip(v, phi_inv)]
+    if use_bufs:
+        t_1 = native.msm_buf(t1_sc, gens.g_buf, vk.l)
+        t_commit = proof.w + t_1 + gens.h_sum * psi
+    else:
+        h_sum = cv.IDENTITY
+        for pt in h:
+            h_sum = h_sum + pt
+        t_commit = proof.w + cv.msm(t1_sc, g) + h_sum * psi
     x = _compute_x(vk, gamma, alpha, beta, phi, psi, v)
-    return ipp.verify(proof.inner_product_proof, transcript, t_commit, x,
-                      g_prime, h, u)
+    if use_bufs:
+        return ipp.verify(proof.inner_product_proof, transcript,
+                          t_commit, x, None, None, u, g_coeff=phi_inv,
+                          g_buf=gens.g_buf, h_buf=gens.h_buf)
+    return ipp.verify(proof.inner_product_proof, transcript, t_commit,
+                      x, g, h, u, g_coeff=phi_inv)

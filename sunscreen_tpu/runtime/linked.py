@@ -85,7 +85,8 @@ class Sdlp:
     def verify(self) -> bool:
         gens = _cached_generators(self.vk.l)
         return lr.verify(self.proof, Transcript(SDLP_TRANSCRIPT_LABEL),
-                         self.vk, gens.g, gens.h, lp_ipp.get_u())
+                         self.vk, gens.g, gens.h, lp_ipp.get_u(),
+                         gens=gens)
 
 
 @dataclass
@@ -221,7 +222,7 @@ class LinkedProof:
         u = lp_ipp.get_u()
         # 1. the SDLP
         if not lr.verify(self.sdlp, Transcript(SDLP_TRANSCRIPT_LABEL),
-                         self.vk, gens.g, gens.h, u):
+                         self.vk, gens.g, gens.h, u, gens=gens):
             return False
         # slices + recombination weights derive from vk (canonical
         # 2's-complement), NOT from prover-controlled proof fields
@@ -645,7 +646,7 @@ class LogProofBuilder:
         vk, pk_know = self._prover_knowledge()
         gens = _cached_generators(vk.l)
         proof = lr.create(Transcript(SDLP_TRANSCRIPT_LABEL), pk_know,
-                          gens.g, gens.h, lp_ipp.get_u())
+                          gens.g, gens.h, lp_ipp.get_u(), gens=gens)
         return Sdlp(proof, vk)
 
     def build_linked(self, zkp_program, extra_private_inputs=(),
@@ -667,7 +668,8 @@ class LogProofBuilder:
         shared_cols = [(m.message_id, 0) for m in self._links]
         sdlp_proof = lr.create(
             Transcript(SDLP_TRANSCRIPT_LABEL), pk_know, gens.g, gens.h,
-            u, half_rho=half_rho, shared_indices=shared_cols)
+            u, half_rho=half_rho, shared_indices=shared_cols,
+            gens=gens)
         slices = [vk.b_slices()[m.message_id][0] for m in self._links]
 
         # R1CS proof with the linked values first (committed inputs)
@@ -739,7 +741,8 @@ class LogProofBuilder:
                        for mid in m.message_ids]
         sdlp_proof = lr.create(
             Transcript(SDLP_TRANSCRIPT_LABEL), pk_know, gens.g, gens.h,
-            u, half_rho=half_rho, shared_indices=shared_cols)
+            u, half_rho=half_rho, shared_indices=shared_cols,
+            gens=gens)
         all_slices = vk.b_slices()
         msg_slices = [all_slices[mid][0] for m in self._links
                       for mid in m.message_ids]

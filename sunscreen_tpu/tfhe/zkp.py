@@ -47,7 +47,7 @@ def prove_lwe_encryption(ct, sk, msg: int, e: int, params: LweDef,
     pk = lr.ProverKnowledge(vk, s_col)
     gens = lr.LogProofGenerators(vk.l)
     proof = lr.create(Transcript(TRANSCRIPT_LABEL), pk, gens.g, gens.h,
-                      lp_ipp.get_u())
+                      lp_ipp.get_u(), gens=gens)
     return proof, vk
 
 
@@ -55,4 +55,4 @@ def verify_lwe_encryption(proof: lr.LogProof,
                           vk: lr.VerifierKnowledge) -> bool:
     gens = lr.LogProofGenerators(vk.l)
     return lr.verify(proof, Transcript(TRANSCRIPT_LABEL), vk, gens.g,
-                     gens.h, lp_ipp.get_u())
+                     gens.h, lp_ipp.get_u(), gens=gens)

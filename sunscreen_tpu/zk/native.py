@@ -35,13 +35,15 @@ def get_lib():
                     or os.path.getmtime(_SO) < src_mtime):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-funroll-loops",
-                     "-shared", "-fPIC", "-o", _SO, _SRC],
+                     "-pthread", "-shared", "-fPIC", "-o", _SO, _SRC],
                     check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO)
             for name in ("ristretto_msm", "ristretto_batch_scalarmul",
                          "ristretto_fold", "ristretto_scale_all",
                          "ristretto_from_uniform", "keccak_f1600",
-                         "keccak_f1600_batch"):
+                         "keccak_f1600_batch", "ristretto_ipp_prove",
+                         "strobe_fork_challenges", "ristretto_ipp_s",
+                         "sc_vec_fold", "sc_vec_mul"):
                 getattr(lib, name).restype = None
             _LIB = lib
         except Exception:
@@ -92,6 +94,52 @@ def msm(scalars, points):
     return _buf_to_points(out.raw, 1)[0]
 
 
+def msm_buf(scalars, points_buf, n: int):
+    """MSM over a pre-marshalled 128B-per-point buffer (cached
+    generator buffers skip the python Point marshalling)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from sunscreen_tpu.zk.curve25519 import L
+    if n == 0:
+        return None
+    sb = _scalars_to_buf(scalars, L)
+    out = ctypes.create_string_buffer(128)
+    lib.ristretto_msm(sb, bytes(points_buf), ctypes.c_long(n), out)
+    return _buf_to_points(out.raw, 1)[0]
+
+
+def batch_scalar_mul_buf(scalars, points_buf, n: int):
+    """[s_i * P_i] over a pre-marshalled buffer, returning the RAW
+    128B-per-point result buffer (callers feeding another native call
+    skip two marshalling round-trips)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from sunscreen_tpu.zk.curve25519 import L
+    sb = _scalars_to_buf(scalars, L)
+    out = ctypes.create_string_buffer(128 * n)
+    lib.ristretto_batch_scalarmul(sb, bytes(points_buf),
+                                  ctypes.c_long(n), out)
+    return out.raw
+
+
+def sc_vec_mul(a, b):
+    """Elementwise a*b mod L; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from sunscreen_tpu.zk.curve25519 import L
+    n = len(a)
+    ab = _scalars_to_buf(a, L)
+    bb = _scalars_to_buf(b, L)
+    out = ctypes.create_string_buffer(32 * max(n, 1))
+    lib.sc_vec_mul(ab, bb, ctypes.c_long(n), out)
+    raw = out.raw
+    return [int.from_bytes(raw[32 * i:32 * i + 32], "little")
+            for i in range(n)]
+
+
 def from_uniform_batch(data: bytes, count: int):
     """[from_uniform_bytes(data[64i:64i+64])] — batched elligator maps
     (generator derivation hot loop); None if native unavailable."""
@@ -129,3 +177,96 @@ def fold(points_a, points_b, scalar):
     lib.ristretto_fold(_points_to_buf(points_a), _points_to_buf(points_b),
                        sb, ctypes.c_long(n), out)
     return _buf_to_points(out.raw, n)
+
+
+# -- strobe bridging (native transcript continuation) -------------------------
+
+def _strobe_io(strobe):
+    """(state_buf, meta_buf) ctypes views of a python Strobe128; call
+    `_strobe_writeback` after the native call."""
+    state = ctypes.create_string_buffer(bytes(strobe.state), 200)
+    meta = (ctypes.c_int32 * 3)(strobe.pos, strobe.pos_begin,
+                                strobe.cur_flags)
+    return state, meta
+
+
+def _strobe_writeback(strobe, state, meta):
+    strobe.state = bytearray(state.raw[:200])
+    strobe.pos = int(meta[0])
+    strobe.pos_begin = int(meta[1])
+    strobe.cur_flags = int(meta[2])
+
+
+def fork_challenges(strobe, label: bytes, count: int):
+    """128-way forked batch challenge scalars
+    (linear_relation._challenge_scalars) natively, mutating the python
+    Strobe128 exactly as the python path would; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    state, meta = _strobe_io(strobe)
+    out = ctypes.create_string_buffer(32 * max(count, 1))
+    lib.strobe_fork_challenges(state, meta, label,
+                               ctypes.c_long(len(label)),
+                               ctypes.c_long(count), out)
+    _strobe_writeback(strobe, state, meta)
+    raw = out.raw
+    return [int.from_bytes(raw[32 * i:32 * i + 32], "little")
+            for i in range(count)]
+
+
+def ipp_s_vector(cs, n: int):
+    """s[i] = prod_{j: bit j of i} cs[lg-1-j] mod L (IPP verifier
+    exponents); None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from sunscreen_tpu.zk.curve25519 import L
+    lg = len(cs)
+    csb = _scalars_to_buf(cs, L)
+    out = ctypes.create_string_buffer(32 * n)
+    lib.ristretto_ipp_s(csb, ctypes.c_long(lg), ctypes.c_long(n), out)
+    raw = out.raw
+    return [int.from_bytes(raw[32 * i:32 * i + 32], "little")
+            for i in range(n)]
+
+
+def ipp_prove(strobe, v1, v2, g_buf: bytes, h_buf: bytes, a_pt, u_pt,
+              rho: int, rand_scalars, n: int, n_real: int | None = None):
+    """Full ZK-IPP prover loop (inner_product.create after the a_pt
+    draw) natively. `g_buf`/`h_buf` are 128-byte-per-point extended
+    buffers (pass cached generator buffers to skip marshalling).
+    Returns (t1_points, tm1_points, w, w_prime, z1, z2, tau) or None.
+    Mutates `strobe` exactly as the python loop would."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from sunscreen_tpu.zk.curve25519 import L
+    lg = n.bit_length() - 1
+    assert 1 << lg == n
+    state, meta = _strobe_io(strobe)
+    v1b = _scalars_to_buf(v1, L)
+    v2b = _scalars_to_buf(v2, L)
+    ab = _points_to_buf([a_pt])
+    ub = _points_to_buf([u_pt])
+    rhob = (int(rho) % L).to_bytes(32, "little")
+    randb = _scalars_to_buf(rand_scalars, L)
+    assert len(rand_scalars) == 2 * lg + 4
+    t1 = ctypes.create_string_buffer(128 * max(lg, 1))
+    tm1 = ctypes.create_string_buffer(128 * max(lg, 1))
+    w = ctypes.create_string_buffer(128)
+    wp = ctypes.create_string_buffer(128)
+    z1 = ctypes.create_string_buffer(32)
+    z2 = ctypes.create_string_buffer(32)
+    tau = ctypes.create_string_buffer(32)
+    lib.ristretto_ipp_prove(state, meta, v1b, v2b, g_buf, h_buf, ab, ub,
+                            rhob, randb, ctypes.c_long(n),
+                            ctypes.c_long(n_real if n_real is not None
+                                          else n),
+                            t1, tm1, w, wp, z1, z2, tau)
+    _strobe_writeback(strobe, state, meta)
+    return (_buf_to_points(t1.raw, lg), _buf_to_points(tm1.raw, lg),
+            _buf_to_points(w.raw, 1)[0], _buf_to_points(wp.raw, 1)[0],
+            int.from_bytes(z1.raw, "little"),
+            int.from_bytes(z2.raw, "little"),
+            int.from_bytes(tau.raw, "little"))
