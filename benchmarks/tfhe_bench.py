@@ -29,13 +29,18 @@ from sunscreen_tpu.tfhe import ops, torus  # noqa: E402
 # reference 80-bit sets (params.rs:263-284) + bench radix (ops.rs)
 LWE = LweDef(dim=512, std=0.000001842343446823844)
 GLWE = GlweDef(size=1, poly_degree=1024, std=1.0900242107812643e-12)
-# decompositions: measured minimums that decrypt correctly at these
-# parameters with this engine's exact CRT-NTT products — the
-# reference's criterion bench uses (3, 4) with its f64-FFT pipeline;
-# at (3, 4) / coarse keyswitch our worst-case decomposition error sat
-# on the 1-bit decision boundary and flipped results, so the bench
-# pins the finer (4, 6) + (8, 6) and says so
-PBS_RADIX = RadixDecomposition(count=4, radix_log=6)
+# radix (3, 4): the reference's documented PBS configuration at these
+# exact parameters (`programmable_bootstrapping.rs:200-280` doctest,
+# executed in its CI). Round 4 root-caused the earlier (3, 4)
+# wrong-decrypts: NOT noise — this engine's default LUT encodes
+# outputs re-padded (chainable), putting f(m)=1 exactly on the 1-bit
+# decode boundary so the noise SIGN decided. The reference's LUT
+# encodes outputs unpadded (message bits only; 2x the margin) and is
+# reproduced with output_bits=1; measured |phase err| <= 2^59.7 vs the
+# 2^62 boundary. The keyswitch matches the reference's
+# keyswitch_lwe_to_lwe composition (its doctest omits the keyswitch
+# and decrypts under the flattened GLWE key).
+PBS_RADIX = RadixDecomposition(count=3, radix_log=4)
 KS_RADIX = RadixDecomposition(count=8, radix_log=6)
 BITS = 1  # 1 message bit + 1 padding (the reference bench's setting)
 
@@ -51,7 +56,8 @@ def main():
     ksk = ops.generate_keyswitch_key(
         ops.flatten_glwe_sk(glwe_sk), lwe_sk, LWE, KS_RADIX,
         jax.random.fold_in(key, 3))
-    tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, 2, GLWE)
+    tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, 2, GLWE,
+                                 output_bits=BITS)
 
     @jax.jit
     def pbs_one(ct):

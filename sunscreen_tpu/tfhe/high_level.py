@@ -53,11 +53,15 @@ class UnivariateLookupTable:
     n_fns: int = 1
 
     @staticmethod
-    def trivial_from_fn(fn, glwe: GlweDef,
-                        plaintext_bits: int) -> "UnivariateLookupTable":
+    def trivial_from_fn(fn, glwe: GlweDef, plaintext_bits: int,
+                        output_bits: int | None = None
+                        ) -> "UnivariateLookupTable":
+        """`output_bits=plaintext_bits-1` reproduces the reference's
+        unpadded output encoding (see ops.test_polynomial_for)."""
         return UnivariateLookupTable(
-            ops.test_polynomial_for(fn, plaintext_bits, glwe),
-            plaintext_bits)
+            ops.test_polynomial_for(fn, plaintext_bits, glwe,
+                                    output_bits=output_bits),
+            plaintext_bits if output_bits is None else output_bits)
 
     @staticmethod
     def trivial_multifunctional(fns, glwe: GlweDef, plaintext_bits: int

@@ -367,19 +367,33 @@ def keyswitch_lwe_to_lwe(ct, ksk, to_params: LweDef,
 # programmable bootstrapping
 # --------------------------------------------------------------------------
 
-def test_polynomial_for(fn, plaintext_bits: int, glwe: GlweDef):
+def test_polynomial_for(fn, plaintext_bits: int, glwe: GlweDef,
+                        output_bits: int | None = None):
     """Test polynomial v with v's blocks encoding fn over the message
     space [0, 2^bits). Messages must keep the top (padding) bit clear
-    for negacyclic correctness (reference univariate PBS convention)."""
+    for negacyclic correctness (reference univariate PBS convention).
+
+    `output_bits` selects the OUTPUT value encoding independently of
+    the input layout. Default (None) keeps this engine's chainable
+    convention: outputs re-encoded at `plaintext_bits` (padding bit
+    clear), directly usable as the next PBS input, at the cost of one
+    bit of decode margin (boundary 2^(63-bits+1)). The reference's
+    `generate_lut` (`programmable_bootstrapping.rs:126-173`,
+    `PlaintextBits` = MESSAGE bits) encodes outputs WITHOUT the
+    padding bit — `output_bits = plaintext_bits - 1` reproduces it and
+    doubles the noise margin (what lets the reference's doctest run
+    radix (3,4) at LWE_512_80/GLWE_1_1024_80); decode such outputs
+    with `output_bits`."""
     import numpy as np
     n = glwe.poly_degree
     space = 1 << plaintext_bits
-    block = n // (space // 2) if space > 1 else n
+    out_bits = plaintext_bits if output_bits is None else output_bits
     v = np.zeros(n, dtype=np.uint64)
+    block = n // (space // 2) if space > 1 else n
     for i in range(n):
         msg = (i // block) % space if space > 1 else 0
-        val = int(fn(msg)) % space
-        v[i] = val << (TORUS_BITS - plaintext_bits)
+        val = int(fn(msg)) % (1 << out_bits)
+        v[i] = val << (TORUS_BITS - out_bits)
     # center bins: rotate by half a block (negacyclic)
     half = block // 2
     if half:

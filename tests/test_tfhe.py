@@ -243,3 +243,84 @@ def test_bivariate_lookup_table_entity():
             ca, cb, lut, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
         got = int(ops.decrypt_lwe(out, lwe_sk, total))
         assert got == fn(ma, mb), (ma, mb, got)
+
+
+def test_pbs_unpadded_output_encoding():
+    """`output_bits` reproduces the reference LUT's unpadded output
+    encoding (`generate_lut`, programmable_bootstrapping.rs:126-173):
+    f values land at val << 63 (message bits only), decoded with
+    1 bit, doubling the noise margin vs the chainable default."""
+    glwe = TEST_GLWE_DEF_1
+    lwe = LWE_SMALL
+    pbs_radix = TEST_RADIX
+    ks_radix = RadixDecomposition(count=8, radix_log=6)
+    lwe_sk = ops.generate_binary_lwe_sk(lwe, jax.random.fold_in(KEY, 300))
+    glwe_sk = ops.generate_binary_glwe_sk(glwe,
+                                          jax.random.fold_in(KEY, 301))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, lwe, glwe,
+                                     pbs_radix,
+                                     jax.random.fold_in(KEY, 302))
+    ksk = ops.generate_keyswitch_key(
+        ops.flatten_glwe_sk(glwe_sk), lwe_sk, lwe, ks_radix,
+        jax.random.fold_in(KEY, 303))
+    tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, 2, glwe,
+                                 output_bits=1)
+    # LUT values sit at the 1-bit slots (0, 2^63)
+    vals = set(int(x) for x in np.asarray(tp))
+    assert vals <= {0, 1 << 63, (1 << 64) - (1 << 63)}
+    for msg in (0, 1):
+        ct = ops.encrypt_lwe(torus.encode(jnp.uint64(msg), 2), lwe_sk,
+                             lwe, jax.random.fold_in(KEY, 304 + msg))
+        out = ops.programmable_bootstrap_univariate(
+            ct, tp, bsk, ksk, lwe, glwe, pbs_radix, ks_radix)
+        assert int(ops.decrypt_lwe(out, lwe_sk, 1)) == (msg + 1) % 2
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SUNSCREEN_TPU_SLOW_TESTS"),
+    reason="~8 min on CPU; run with SUNSCREEN_TPU_SLOW_TESTS=1")
+def test_pbs_reference_doctest_params():
+    """The reference's documented PBS configuration end-to-end:
+    LWE_512_80 -> GLWE_1_1024_80, radix (3, 4), unpadded LUT output,
+    negate function — `programmable_bootstrapping.rs:200-280` (the
+    doctest its CI executes). Round 4: the earlier wrong-decrypts at
+    this radix were the padded-output boundary saturation, not noise
+    (measured |phase err| <= 2^59.7 vs the 2^62 margin here)."""
+    LWE80 = LweDef(dim=512, std=0.000001842343446823844)
+    GLWE80 = GlweDef(size=1, poly_degree=1024,
+                     std=1.0900242107812643e-12)
+    radix = RadixDecomposition(count=3, radix_log=4)
+    ks_radix = RadixDecomposition(count=8, radix_log=6)
+    key = jax.random.key(11)
+    lwe_sk = ops.generate_binary_lwe_sk(LWE80, jax.random.fold_in(key, 0))
+    glwe_sk = ops.generate_binary_glwe_sk(GLWE80,
+                                          jax.random.fold_in(key, 1))
+    bsk = ops.generate_bootstrap_key(lwe_sk, glwe_sk, LWE80, GLWE80,
+                                     radix, jax.random.fold_in(key, 2))
+    flat = ops.flatten_glwe_sk(glwe_sk)
+    ksk = ops.generate_keyswitch_key(flat, lwe_sk, LWE80, ks_radix,
+                                     jax.random.fold_in(key, 3))
+    tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, 2, GLWE80,
+                                 output_bits=1)
+
+    @jax.jit
+    def pbs_no_ks(ct):
+        # the reference's univariate PBS: blind rotate + extract, the
+        # output under the flattened GLWE key (doctest decrypts there)
+        rotated = ops.blind_rotate(tp, ct, bsk, GLWE80, radix)
+        return ops.sample_extract(rotated, GLWE80)
+
+    batch = 8
+    msgs = jnp.arange(batch, dtype=jnp.uint64) % 2
+    cts = jax.vmap(lambda m, k: ops.encrypt_lwe(
+        torus.encode(m, 2), lwe_sk, LWE80, k))(
+        msgs, jax.random.split(jax.random.fold_in(key, 4), batch))
+    ext = jax.vmap(pbs_no_ks)(cts)
+    want = (np.asarray(msgs) + 1) % 2
+    got = jax.vmap(lambda c: ops.decrypt_lwe(c, flat, 1))(ext)
+    assert np.array_equal(np.asarray(got), want)
+    # + keyswitch back to the small key (our bench composition)
+    out = jax.vmap(lambda c: ops.keyswitch_lwe_to_lwe(
+        c, ksk, LWE80, ks_radix))(ext)
+    got2 = jax.vmap(lambda c: ops.decrypt_lwe(c, lwe_sk, 1))(out)
+    assert np.array_equal(np.asarray(got2), want)
