@@ -17,6 +17,10 @@ from sunscreen_tpu.tfhe.params import GlweDef, LweDef, RadixDecomposition
 class keygen:
     generate_binary_lwe_sk = staticmethod(ops.generate_binary_lwe_sk)
     generate_binary_glwe_sk = staticmethod(ops.generate_binary_glwe_sk)
+    generate_uniform_lwe_sk = staticmethod(ops.generate_uniform_lwe_sk)
+    generate_uniform_glwe_sk = staticmethod(
+        ops.generate_uniform_glwe_sk)
+    generate_lwe_pk = staticmethod(ops.generate_lwe_public_key)
     generate_bootstrapping_key = staticmethod(ops.generate_bootstrap_key)
     generate_ksk = staticmethod(ops.generate_keyswitch_key)
     generate_cbs_ksk = staticmethod(ops.generate_cbs_pfksk)
@@ -33,9 +37,12 @@ class encryption:
     encrypt_glwe_public = staticmethod(ops.encrypt_glwe_public)
     encrypt_glev = staticmethod(ops.encrypt_glev)
     encrypt_ggsw = staticmethod(ops.encrypt_ggsw)
+    encrypt_binary_msg_rlev = staticmethod(ops.encrypt_rlev_public)
     trivial_lwe = staticmethod(ops.trivial_lwe)
     trivial_glwe = staticmethod(ops.trivial_glwe)
+    trivial_binary_glev = staticmethod(ops.trivial_glev)
     decrypt_lwe = staticmethod(ops.decrypt_lwe)
+    decrypt_lwe_with_carry = staticmethod(ops.decrypt_lwe_with_carry)
     decrypt_glwe = staticmethod(ops.decrypt_glwe)
     decrypt_glev = staticmethod(ops.decrypt_glev)
 
@@ -106,6 +113,7 @@ class BivariateLookupTable:
 
 class evaluation:
     cmux = staticmethod(ops.cmux)
+    glev_cmux = staticmethod(ops.glev_cmux)
     external_product = staticmethod(ops.external_product)
     blind_rotation = staticmethod(ops.blind_rotate)
     sample_extract = staticmethod(ops.sample_extract)

@@ -48,6 +48,35 @@ def generate_binary_glwe_sk(params: GlweDef, key):
         key, 0.5, (params.size, params.poly_degree)).astype(U64)
 
 
+def generate_uniform_lwe_sk(params: LweDef, key):
+    """Uniform (non-binary) LWE secret key — key-share arithmetic
+    producing binary keys from uniform shares (reference:
+    `generate_uniform_lwe_sk`, high_level.rs:114). The LWE dot is
+    wrapping mod 2^64, so decryption is exact for any u64 key."""
+    return jax.random.bits(key, (params.dim,), dtype=jnp.uint64)
+
+
+def generate_uniform_glwe_sk(params: GlweDef, key):
+    """Uniform GLWE secret key (reference: `generate_uniform_glwe_sk`,
+    high_level.rs:173). The mask.sk dot runs on the 3-prime CRT plan,
+    exact for full torus x torus products."""
+    return jax.random.bits(key, (params.size, params.poly_degree),
+                           dtype=jnp.uint64)
+
+
+def decrypt_lwe_with_carry(ct, sk, plaintext_bits: int,
+                           carry_bits: int):
+    """Decode reading the message BELOW `carry_bits` of headroom —
+    the carry-arithmetic decode (reference: `decrypt_lwe_with_carry`,
+    high_level.rs:551: round at bit 64-p-c-1, keep p bits)."""
+    assert plaintext_bits + carry_bits < TORUS_BITS
+    phase = decrypt_lwe_torus(ct, sk)
+    shift = jnp.uint64(TORUS_BITS - plaintext_bits - carry_bits)
+    round_bit = (phase >> (shift - jnp.uint64(1))) & jnp.uint64(1)
+    return ((phase >> shift) + round_bit) \
+        & jnp.uint64((1 << plaintext_bits) - 1)
+
+
 # --------------------------------------------------------------------------
 # LWE
 # --------------------------------------------------------------------------
@@ -110,12 +139,15 @@ def lwe_scalar_mul(ct, k: int):
 # --------------------------------------------------------------------------
 
 def _glwe_mask_dot_sk(masks, sk, params: GlweDef):
-    """sum_j masks[j] * sk[j] (negacyclic, exact)."""
-    plan = get_torus_plan(params.poly_degree)
+    """sum_j masks[j] * sk[j] (negacyclic, exact mod 2^64). Uses the
+    3-prime plan (C ~ 2^186) so FULL torus x torus products stay exact
+    — this is what makes UNIFORM (non-binary) secret keys valid, not
+    just binary ones (|sum| < N * 2^128 << C/2)."""
+    plan = get_torus_plan(params.poly_degree, k=3)
     acc = None
     for j in range(params.size):
         term_rns = plan.pointwise(
-            plan.fwd(plan.signed_to_rns(sk[j].astype(I64))),
+            plan.fwd(plan.torus_to_rns(sk[j].astype(U64))),
             plan.fwd(plan.torus_to_rns(masks[..., j, :])))
         acc = term_rns if acc is None else plan.add(acc, term_rns)
     return plan.to_torus(plan.plan.inv(acc))
@@ -194,6 +226,33 @@ def encrypt_glev(msg_poly, sk, params: GlweDef,
     return jnp.stack(lvl)
 
 
+def trivial_glev(msg_poly, params: GlweDef, radix: RadixDecomposition):
+    """Trivial (zero-mask) GLEV of `msg_poly` — no security, useful as
+    constants (reference: `trivial_binary_glev`, high_level.rs:743)."""
+    msg = jnp.asarray(msg_poly, dtype=U64)
+    lvl = []
+    for j in range(radix.count):
+        bj = U64(1) << jnp.uint64(TORUS_BITS - (j + 1) * radix.radix_log)
+        lvl.append(trivial_glwe(msg * bj, params))
+    return jnp.stack(lvl)
+
+
+def encrypt_rlev_public(msg_poly, pk, params: GlweDef,
+                        radix: RadixDecomposition, key):
+    """RLEV (GLEV with size == 1) of a binary-coefficient message
+    under an RLWE PUBLIC key — level j encrypts msg * B_j (reference:
+    `encrypt_binary_msg_rlev`, high_level.rs:764 /
+    `encrypt_rlev_ciphertext`)."""
+    assert params.size == 1, "RLEV requires GLWE size 1"
+    msg = jnp.asarray(msg_poly, dtype=U64)
+    lvl = []
+    for j in range(radix.count):
+        bj = U64(1) << jnp.uint64(TORUS_BITS - (j + 1) * radix.radix_log)
+        lvl.append(encrypt_glwe_public(msg * bj, pk, params,
+                                       jax.random.fold_in(key, j)))
+    return jnp.stack(lvl)
+
+
 def decrypt_glev(glev, sk, params: GlweDef, radix: RadixDecomposition):
     """Recover the level-0 message (scaled by B_1 = 2^(64-radix_log))."""
     t0 = decrypt_glwe_torus(glev[0], sk, params)
@@ -253,6 +312,15 @@ def external_product(ggsw, glwe, params: GlweDef,
 def cmux(sel_ggsw, d0, d1, params: GlweDef, radix: RadixDecomposition):
     """d0 + sel ⊡ (d1 - d0) (reference: `ops/homomorphisms/cmux`)."""
     return d0 + external_product(sel_ggsw, d1 - d0, params, radix)
+
+
+def glev_cmux(sel_ggsw, d0, d1, params: GlweDef,
+              radix: RadixDecomposition):
+    """CMUX over GLEV ciphertexts [l, k+1, N] — the same selector
+    applied per level, used when muxing circuit-bootstrap outputs
+    (reference: `glev_cmux`, high_level.rs:928 / fft_ops.rs). The
+    external product batches over the leading level axis."""
+    return cmux(sel_ggsw, d0, d1, params, radix)
 
 
 # --------------------------------------------------------------------------

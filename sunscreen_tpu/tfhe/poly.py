@@ -26,12 +26,11 @@ class TorusNttPlan:
     """Negacyclic multiply of signed-int polys by torus polys, exact
     mod 2^64."""
 
-    def __init__(self, n: int):
+    def __init__(self, n: int, k: int = 2):
         self.n = n
-        mods = tuple(primes.gen_ntt_primes(62, 2, n))
+        mods = tuple(primes.gen_ntt_primes(62, k, n))
         self.base = rns.RnsBase(mods)
         self.plan = ntt.get_plan(n, mods)
-        k = 2
         # (C/c_i) mod 2^64 and C mod 2^64 for wrapping reconstruction
         self.theta = jnp.asarray(np.array(
             [p & 0xFFFFFFFFFFFFFFFF for p in self.base.punctured],
@@ -39,7 +38,7 @@ class TorusNttPlan:
         self.c_mod = U64(self.base.product & 0xFFFFFFFFFFFFFFFF)
 
     def torus_to_rns(self, t):
-        """u64 torus [..., N] -> [..., 2, N] residues."""
+        """u64 torus [..., N] -> [..., k, N] residues."""
         k = self.base.k
         q = self.base.q_dev.reshape(k, 1)
         return m.barrett_reduce_64(
@@ -48,7 +47,7 @@ class TorusNttPlan:
             self.base.ratio_lo_dev.reshape(k, 1))
 
     def signed_to_rns(self, d):
-        """signed int64 digits [..., N] -> [..., 2, N] residues."""
+        """signed int64 digits [..., N] -> [..., k, N] residues."""
         from sunscreen_tpu.math import sampling
         return sampling.signed_to_rns(d, self.base.q_dev)
 
@@ -63,7 +62,7 @@ class TorusNttPlan:
         return m.add_mod(a, b, self.base.q_dev.reshape(k, 1))
 
     def to_torus(self, x_rns):
-        """[..., 2, N] residues of a centered value |X| < C/2 ->
+        """[..., k, N] residues of a centered value |X| < C/2 ->
         exact u64 (mod 2^64)."""
         y = self.base.normalize_digits(x_rns)
         (_, alpha), _ = rns.fixed_point_dot(
@@ -82,8 +81,13 @@ class TorusNttPlan:
 
 
 @lru_cache(maxsize=16)
-def get_torus_plan(n: int) -> TorusNttPlan:
-    return TorusNttPlan(n)
+def get_torus_plan(n: int, k: int = 2) -> TorusNttPlan:
+    """k=2 (C ~ 2^124) covers small-digit x torus products (external
+    products, keyswitches). k=3 (C ~ 2^186) covers FULL torus x torus
+    negacyclic products — needed by the GLWE mask.sk dot so UNIFORM
+    (non-binary) secret keys stay exact (reference:
+    `generate_uniform_glwe_sk`, high_level.rs:173)."""
+    return TorusNttPlan(n, k)
 
 
 def negacyclic_monomial_mul(poly, e, n: int):

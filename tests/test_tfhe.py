@@ -324,3 +324,84 @@ def test_pbs_reference_doctest_params():
         c, ksk, LWE80, ks_radix))(ext)
     got2 = jax.vmap(lambda c: ops.decrypt_lwe(c, lwe_sk, 1))(out)
     assert np.array_equal(np.asarray(got2), want)
+
+
+def test_uniform_secret_keys():
+    """Uniform (non-binary) LWE + GLWE secret keys encrypt/decrypt
+    exactly (reference: `generate_uniform_{lwe,glwe}_sk`,
+    high_level.rs:114,173). The GLWE mask.sk dot runs on the 3-prime
+    CRT plan so full torus x torus products stay exact."""
+    lwe = LWE_SMALL
+    glwe = TEST_GLWE_DEF_1
+    sk_l = ops.generate_uniform_lwe_sk(lwe, jax.random.fold_in(KEY, 400))
+    ct = ops.encrypt_lwe(torus.encode(jnp.uint64(5), 3), sk_l, lwe,
+                         jax.random.fold_in(KEY, 401))
+    assert int(ops.decrypt_lwe(ct, sk_l, 3)) == 5
+    sk_g = ops.generate_uniform_glwe_sk(glwe,
+                                        jax.random.fold_in(KEY, 402))
+    assert int(jnp.max(sk_g)) > 1  # really non-binary
+    msgs = jnp.asarray(RNG.integers(0, 8, glwe.poly_degree,
+                                    dtype=np.uint64))
+    gct = ops.encrypt_glwe(torus.encode(msgs, 3), sk_g, glwe,
+                           jax.random.fold_in(KEY, 403))
+    got = ops.decrypt_glwe(gct, sk_g, glwe, 3)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(msgs))
+
+
+def test_decrypt_lwe_with_carry():
+    """Carry-aware decode (reference: `decrypt_lwe_with_carry`,
+    high_level.rs:551): message at 64-p-c with c carry bits of
+    headroom above it."""
+    lwe = LWE_SMALL
+    sk = ops.generate_binary_lwe_sk(lwe, jax.random.fold_in(KEY, 410))
+    p_bits, c_bits = 3, 2
+    msg = 5
+    enc = jnp.uint64(msg) << jnp.uint64(64 - p_bits - c_bits)
+    ct = ops.encrypt_lwe(enc, sk, lwe, jax.random.fold_in(KEY, 411))
+    assert int(ops.decrypt_lwe_with_carry(ct, sk, p_bits, c_bits)) == msg
+    # with a carry accumulated (ct + ct -> 2*msg overflows p into carry)
+    ct2 = ops.lwe_add(ct, ct)
+    assert int(ops.decrypt_lwe_with_carry(ct2, sk, p_bits, c_bits)) \
+        == (2 * msg) % (1 << p_bits)
+
+
+def test_trivial_glev_and_rlev_public():
+    """trivial_binary_glev + RLEV under an RLWE public key decrypt at
+    every level scale (reference: high_level.rs:743,764)."""
+    glwe = TEST_GLWE_DEF_1
+    radix = RadixDecomposition(count=2, radix_log=8)
+    msg = jnp.asarray(RNG.integers(0, 2, glwe.poly_degree,
+                                   dtype=np.uint64))
+    triv = ops.trivial_glev(msg, glwe, radix)
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 420))
+    got = ops.decrypt_glev(triv, sk, glwe, radix)
+    np.testing.assert_array_equal(np.asarray(got) & 1, np.asarray(msg))
+    pk = ops.generate_rlwe_public_key(sk, glwe,
+                                      jax.random.fold_in(KEY, 421))
+    rlev = ops.encrypt_rlev_public(msg, pk, glwe, radix,
+                                   jax.random.fold_in(KEY, 422))
+    got = ops.decrypt_glev(rlev, sk, glwe, radix)
+    np.testing.assert_array_equal(np.asarray(got) & 1, np.asarray(msg))
+
+
+def test_glev_cmux():
+    """glev_cmux selects between two GLEVs level-wise (reference:
+    `glev_cmux`, high_level.rs:928)."""
+    glwe = TEST_GLWE_DEF_1
+    radix = TEST_RADIX
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 430))
+    m0 = jnp.asarray(RNG.integers(0, 2, glwe.poly_degree,
+                                  dtype=np.uint64))
+    m1 = jnp.asarray(RNG.integers(0, 2, glwe.poly_degree,
+                                  dtype=np.uint64))
+    g0 = ops.encrypt_glev(m0, sk, glwe, radix,
+                          jax.random.fold_in(KEY, 431))
+    g1 = ops.encrypt_glev(m1, sk, glwe, radix,
+                          jax.random.fold_in(KEY, 432))
+    for sel, want in ((0, m0), (1, m1)):
+        ggsw = ops.encrypt_ggsw(sel, sk, glwe, radix,
+                                jax.random.fold_in(KEY, 433 + sel))
+        out = ops.glev_cmux(ggsw, g0, g1, glwe, radix)
+        got = ops.decrypt_glev(out, sk, glwe, radix)
+        np.testing.assert_array_equal(np.asarray(got) & 1,
+                                      np.asarray(want))
