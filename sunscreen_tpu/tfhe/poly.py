@@ -80,14 +80,23 @@ class TorusNttPlan:
         return self.to_torus(prod)
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=32)
 def get_torus_plan(n: int, k: int = 2) -> TorusNttPlan:
     """k=2 (C ~ 2^124) covers small-digit x torus products (external
     products, keyswitches). k=3 (C ~ 2^186) covers FULL torus x torus
     negacyclic products — needed by the GLWE mask.sk dot so UNIFORM
     (non-binary) secret keys stay exact (reference:
-    `generate_uniform_glwe_sk`, high_level.rs:173)."""
-    return TorusNttPlan(n, k)
+    `generate_uniform_glwe_sk`, high_level.rs:173).
+
+    Construction is forced eager (ensure_compile_time_eval): a cache
+    miss INSIDE a jit trace would otherwise capture the plan's device
+    constants as tracers of that trace and poison every later use
+    (the cached-jnp-constant leak — CLAUDE.md gotchas; surfaced when
+    the k split gave encrypt and external-product DIFFERENT cache
+    keys, so eager encrypts no longer pre-warmed the jitted path)."""
+    import jax
+    with jax.ensure_compile_time_eval():
+        return TorusNttPlan(n, k)
 
 
 def negacyclic_monomial_mul(poly, e, n: int):

@@ -405,3 +405,33 @@ def test_glev_cmux():
         got = ops.decrypt_glev(out, sk, glwe, radix)
         np.testing.assert_array_equal(np.asarray(got) & 1,
                                       np.asarray(want))
+
+
+def test_plan_cache_miss_inside_jit_no_tracer_leak():
+    """A torus-plan cache MISS inside a jit trace must not capture the
+    plan's device constants as tracers (regression: the k-split gave
+    encrypt and external-product different cache keys, so eager
+    encrypts no longer pre-warmed the jitted path and the first
+    in-trace construction poisoned every later use)."""
+    from sunscreen_tpu.tfhe.poly import get_torus_plan
+    glwe = TEST_GLWE_DEF_1
+    sk = ops.generate_binary_glwe_sk(glwe, jax.random.fold_in(KEY, 500))
+    ct = ops.encrypt_glwe(
+        torus.encode(jnp.zeros(glwe.poly_degree, dtype=jnp.uint64), 2),
+        sk, glwe, jax.random.fold_in(KEY, 501))
+    sel = ops.encrypt_ggsw(1, sk, glwe, TEST_RADIX,
+                           jax.random.fold_in(KEY, 502))
+    get_torus_plan.cache_clear()   # force the miss INSIDE the trace
+
+    @jax.jit
+    def f(c):
+        return ops.cmux(sel, c, c + 1, glwe, TEST_RADIX)
+
+    out1 = jax.block_until_ready(f(ct))
+
+    @jax.jit
+    def g(c):   # a SECOND trace reusing the now-cached plan
+        return ops.external_product(sel, c, glwe, TEST_RADIX)
+
+    out2 = jax.block_until_ready(g(ct))
+    assert out1.shape == ct.shape and out2.shape == ct.shape
