@@ -450,6 +450,15 @@ static void ge_neg(ge &r, const ge &p) {
   fe_neg(r.T, p.T);
 }
 
+// true iff p is the identity in the canonical (0, y, y, 0) form our
+// buffers and fold chains produce (X and T limbs all zero); identity
+// operands let folds skip a full scalar multiplication.
+static inline bool ge_is_identity_fast(const ge &p) {
+  u64 acc = 0;
+  for (int i = 0; i < 5; i++) acc |= p.X.v[i] | p.T.v[i];
+  return acc == 0;
+}
+
 // wNAF (w=5) recoding: odd digits in [-15, 15]; naf must hold 258
 // entries; returns the number of digits (position of highest nonzero
 // + 1, 0 for scalar 0).
@@ -1227,12 +1236,16 @@ void ristretto_ipp_prove(
     parallel_for(fold_n, 64, [&](long lo, long hi) {
       for (long i = lo; i < hi; i++) {
         ge table[8], r;
-        ge_naf_table(table, g[n2 + i]);
-        ge_scalarmul_naf(r, table, naf_c, len_c);
-        ge_add(g[i], g[i], r);
-        ge_naf_table(table, h[n2 + i]);
-        ge_scalarmul_naf(r, table, naf_ci, len_ci);
-        ge_add(h[i], h[i], r);
+        if (!ge_is_identity_fast(g[n2 + i])) {
+          ge_naf_table(table, g[n2 + i]);
+          ge_scalarmul_naf(r, table, naf_c, len_c);
+          ge_add(g[i], g[i], r);
+        }
+        if (!ge_is_identity_fast(h[n2 + i])) {
+          ge_naf_table(table, h[n2 + i]);
+          ge_scalarmul_naf(r, table, naf_ci, len_ci);
+          ge_add(h[i], h[i], r);
+        }
       }
     });
     // fold vectors: v1 = v1t + c_inv*v1b, v2 = v2t + c*v2b

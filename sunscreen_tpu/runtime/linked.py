@@ -373,6 +373,28 @@ def _unshared_vectors(gens, slices, l):
     return g_un, shared_idx
 
 
+def _unshared_buffers(gens, slices, l):
+    """(g_un_buf, count, h_id_buf): cached-buffer form of the
+    unshared-half generator set (h outside the shared ranges ++ g) —
+    at production l the python Point marshalling otherwise dominates
+    the bridge. Padded to the IPP's power of two."""
+    import numpy as np
+
+    from sunscreen_tpu.zk import native
+    if native.get_lib() is None:
+        return None, 0, None
+    mask = np.ones(l, dtype=bool)
+    for lo, hi in slices:
+        mask[lo:hi] = False
+    hb = np.frombuffer(gens.h_buf, np.uint8).reshape(l, 128)
+    buf = hb[mask].tobytes() + gens.g_buf
+    count = int(mask.sum()) + l
+    target = 1 << max(0, (count - 1).bit_length())
+    buf = buf + lr.IDENTITY_BUF * (target - count)
+    h_id = lr.IDENTITY_BUF * target
+    return buf, count, h_id
+
+
 def _prove_bridge_wires(bits, s_1, half_rho, w_shared, w, bp_proof,
                         witness, slices, gens, u) -> CompressedBridge:
     from sunscreen_tpu.zk.pedersen import cached_bp_gens
@@ -423,12 +445,20 @@ def _prove_unshared(t, s_1, half_rho, w_shared, w, slices, gens, u):
     right-generators) into a log-size proof of opening — binding on
     the left generators alone pins the exponents."""
     l = len(s_1)
-    g_un, shared_idx = _unshared_vectors(gens, slices, l)
+    shared_idx = set()
+    for lo, hi in slices:
+        shared_idx.update(range(lo, hi))
     s_2 = [1 - b for b in s_1]
     v1 = [s_1[i] for i in range(l) if i not in shared_idx] + s_2
     v2 = [0] * len(v1)
-    h_id = [cv.IDENTITY] * len(v1)
     t_un = w + w_shared * (L - 1)   # w - w_shared
+    g_buf, count, h_id_buf = _unshared_buffers(gens, slices, l)
+    if g_buf is not None:
+        assert count == len(v1)
+        return lp_ipp.create(t, v1, v2, half_rho, t_un, None, None, u,
+                             g_buf=g_buf, h_buf=h_id_buf)
+    g_un, _ = _unshared_vectors(gens, slices, l)
+    h_id = [cv.IDENTITY] * len(v1)
     return lp_ipp.create(t, v1, v2, half_rho, t_un, g_un, h_id, u)
 
 
@@ -483,9 +513,14 @@ def _verify_bridge(br: CompressedBridge, w_shared, w, bp_proof, slices,
     t_sh = t_sh + cv.msm(v2, h_vec)
     if not lp_ipp.verify(br.ipp_shared, t, t_sh, 0, g_vec, h_vec, u):
         return False
+    t_un = w + w_shared * (L - 1)   # w - w_shared
+    g_buf, count, h_id_buf = _unshared_buffers(gens, slices, l)
+    if g_buf is not None:
+        return lp_ipp.verify(br.ipp_unshared, t, t_un, 0, None, None,
+                             u, g_buf=g_buf[:count * 128],
+                             h_buf=h_id_buf[:count * 128])
     g_un, _ = _unshared_vectors(gens, slices, l)
     h_id = [cv.IDENTITY] * len(g_un)
-    t_un = w + w_shared * (L - 1)   # w - w_shared
     return lp_ipp.verify(br.ipp_unshared, t, t_un, 0, g_un, h_id, u)
 
 
