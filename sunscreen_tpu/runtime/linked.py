@@ -188,6 +188,75 @@ class LinkedProof:
                 "bp": len(self.bp_proof.to_bytes()),
                 "bridge": len(self.bridge.to_bytes())}
 
+    def to_bytes(self) -> bytes:
+        """Wire format for the PROOF only (reference: serde on
+        `LinkedProof`). The verifier's statement knowledge (vk) is
+        deliberately NOT serialized — `from_bytes` takes it from the
+        verifying application, matching the trust model verify()
+        enforces."""
+        import struct
+        mids = struct.pack("<I", len(self.message_ids)) + b"".join(
+            struct.pack("<q", int(m)) for m in self.message_ids)
+        if self.params is None:
+            pb = struct.pack("<I", 0)
+        else:
+            p = self.params
+            body = struct.pack(
+                "<QQIQ", p.poly_degree, p.plain_modulus,
+                len(p.coeff_modulus), p.special_modulus) + b"".join(
+                struct.pack("<Q", q) for q in p.coeff_modulus) + \
+                struct.pack("<I", p.security_level)
+            pb = struct.pack("<I", len(body)) + body
+        sd = self.sdlp.to_bytes()
+        bp = self.bp_proof.to_bytes()
+        br = self.bridge.to_bytes()
+        return (mids + pb
+                + struct.pack("<I", len(sd)) + sd
+                + struct.pack("<I", len(bp)) + bp
+                + struct.pack("<I", len(br)) + br)
+
+    @staticmethod
+    def from_bytes(data: bytes, vk: lr.VerifierKnowledge
+                   ) -> "LinkedProof":
+        """Deserialize against the VERIFIER'S statement knowledge.
+        Raises `cv.DecodeError` on malformed input (the component
+        decoders validate canonical encodings)."""
+        import struct
+        from sunscreen_tpu.bfv.params import BfvParams
+        off = 0
+
+        def take(n):
+            nonlocal off
+            if off + n > len(data):
+                raise cv.DecodeError("truncated linked proof")
+            out = data[off:off + n]
+            off += n
+            return out
+
+        (n_mids,) = struct.unpack("<I", take(4))
+        if n_mids > 1 << 20:
+            raise cv.DecodeError("implausible message id count")
+        mids = [struct.unpack("<q", take(8))[0] for _ in range(n_mids)]
+        (plen,) = struct.unpack("<I", take(4))
+        params = None
+        if plen:
+            body = take(plen)
+            pd, pm, nq, sp = struct.unpack("<QQIQ", body[:28])
+            if nq > 1 << 16:
+                raise cv.DecodeError("implausible modulus count")
+            qs = struct.unpack(f"<{nq}Q", body[28:28 + 8 * nq])
+            (sec,) = struct.unpack("<I", body[28 + 8 * nq:])
+            params = BfvParams(pd, pm, tuple(qs), sp, sec)
+        (n,) = struct.unpack("<I", take(4))
+        sdlp = lr.LogProof.from_bytes(take(n))
+        (n,) = struct.unpack("<I", take(4))
+        bp = BulletproofsProof.from_bytes(take(n))
+        (n,) = struct.unpack("<I", take(4))
+        bridge = CompressedBridge.from_bytes(take(n))
+        if off != len(data):
+            raise cv.DecodeError("trailing bytes in linked proof")
+        return LinkedProof(sdlp, vk, mids, bp, bridge, params=params)
+
     def verify(self, zkp_program, public_inputs=(),
                constant_inputs=(), expected_message_ids=None,
                expected_link_count=None, params=None) -> bool:

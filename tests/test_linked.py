@@ -362,3 +362,41 @@ def test_wires_mode_forged_params_rejected(rt_keys):
     assert not proof.verify(fresh_ok)
     proof.message_ids = [mid, mid + 1]
     assert not proof.verify(fresh_ok)
+
+
+def test_linked_proof_serialization_roundtrip(rt_keys):
+    """LinkedProof wire format: proof-only (the verifier supplies vk),
+    roundtrips byte-exactly and still verifies; truncation and
+    trailing garbage fail closed with DecodeError."""
+    from sunscreen_tpu.runtime.linked import LinkedProof
+    from sunscreen_tpu.types import Signed
+    from sunscreen_tpu.types.zkp_types import BfvSigned, Linked
+    from sunscreen_tpu.zk import curve25519 as cv
+
+    @zkp_program()
+    def ser_prog(x: Linked[BfvSigned]):
+        x.constrain_fresh_encoding()
+
+    rt, pub, priv = rt_keys
+    builder = LogProofBuilder(rt)
+    builder.encrypt_returning_link(Signed(12), pub, seed=51)
+    proof = builder.build_linked(ser_prog)
+    blob = proof.to_bytes()
+    back = LinkedProof.from_bytes(blob, proof.vk)
+    assert back.to_bytes() == blob
+    assert back.message_ids == proof.message_ids
+    assert back.params == proof.params
+    assert back.verify(ser_prog)
+    with pytest.raises(cv.DecodeError):
+        LinkedProof.from_bytes(blob[:-3], proof.vk)
+    with pytest.raises(cv.DecodeError):
+        LinkedProof.from_bytes(blob + b"\x00", proof.vk)
+
+    # values-mode proof (params field absent) roundtrips too
+    b2 = LogProofBuilder(rt)
+    _, link = b2.encrypt_returning_link(Unsigned64(9), pub, seed=52)
+    p2 = b2.build_linked(in_range)
+    back2 = LinkedProof.from_bytes(p2.to_bytes(), p2.vk)
+    assert back2.params is None
+    assert back2.verify(in_range,
+                        expected_message_ids=[link.message_id])
