@@ -162,18 +162,50 @@ class FheRuntime:
 
     def _get_lowered(self, prog: CompiledFheProgram,
                      public_key: PublicKeySet):
-        pid = id(prog)
-        if pid not in self._lowered:
-            rlk = public_key.relin_key
-            gks = public_key.galois_keys
-            if prog.requires_relin_keys and rlk is None:
-                raise RuntimeError_(
-                    f"program {prog.name!r} requires relin keys")
-            if prog.requires_galois_keys and gks is None:
-                raise RuntimeError_(
-                    f"program {prog.name!r} requires galois keys")
-            self._lowered[pid] = lower_program(prog, self.ctx, rlk, gks)
-        return self._lowered[pid]
+        """Jitted executor for `prog` with the evaluation keys passed
+        as ARGUMENTS (pytree leaves), not baked in: one compilation
+        serves every key set with this structure. (Round-4 fix: the
+        cache used to close over the FIRST caller's relin/galois keys,
+        so a second key set silently ran with the first one's keys and
+        'decrypted' to noise — the multi-tenant serving hazard.)"""
+        import jax
+
+        from sunscreen_tpu.bfv.keys import GaloisKeys, KswKey
+        rlk = public_key.relin_key
+        gks = public_key.galois_keys
+        if prog.requires_relin_keys and rlk is None:
+            raise RuntimeError_(
+                f"program {prog.name!r} requires relin keys")
+        if prog.requires_galois_keys and gks is None:
+            raise RuntimeError_(
+                f"program {prog.name!r} requires galois keys")
+        has_rlk = rlk is not None
+        elems = tuple(sorted(gks.keys)) if gks is not None else None
+        cache_key = (id(prog), has_rlk, elems)
+        if cache_key not in self._lowered:
+            ctx = self.ctx
+
+            def run_with_keys(key_leaves, *args):
+                r = (KswKey(key_leaves[0], key_leaves[1])
+                     if has_rlk else None)
+                off = 2 if has_rlk else 0
+                g = None
+                if elems is not None:
+                    g = GaloisKeys({
+                        e: KswKey(key_leaves[off + 2 * i],
+                                  key_leaves[off + 2 * i + 1])
+                        for i, e in enumerate(elems)})
+                return lower_program(prog, ctx, r, g, jit=False)(*args)
+
+            self._lowered[cache_key] = jax.jit(run_with_keys)
+        fn = self._lowered[cache_key]
+        leaves = []
+        if has_rlk:
+            leaves += [rlk.k0, rlk.k1]
+        if elems is not None:
+            for e in elems:
+                leaves += [gks[e].k0, gks[e].k1]
+        return lambda *args: fn(leaves, *args)
 
     def run(self, prog: CompiledFheProgram, args: list,
             public_key: PublicKeySet) -> list[Ciphertext]:

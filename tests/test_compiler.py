@@ -368,3 +368,30 @@ def test_add_many_multiply_many(rt_keys):
     for v in vals:
         prod = prod * v % ctx.t
     assert int(p[0]) == prod
+
+
+def test_run_with_multiple_key_sets():
+    """One compiled program, several key sets: the lowered executor
+    must take the evaluation keys as arguments, not bake the first
+    caller's keys into the jit (round-4 regression: the second key
+    set silently ran with the first's relin keys and decrypted to
+    noise — the multi-tenant serving hazard)."""
+    from sunscreen_tpu.compiler import Compiler, PlainModulusConstraint, \
+        fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Cipher, Signed
+
+    @fhe_program(scheme="bfv")
+    def sq(a: Cipher[Signed]):
+        return a * a
+
+    app = (Compiler().fhe_program(sq)
+           .plain_modulus_constraint(PlainModulusConstraint.Raw(64))
+           .compile())
+    rt = Runtime.new_fhe(app.params)
+    prog = app.get_program(sq)
+    for seed, val in ((1, 5), (11, 7), (None, 6)):
+        pub, priv = rt.generate_keys(galois=False, seed=seed)
+        ct = rt.encrypt(Signed(val), pub, seed=3)
+        (out,) = rt.run(prog, [ct], pub)
+        assert rt.decrypt(out, priv) == val * val, f"key set seed={seed}"
