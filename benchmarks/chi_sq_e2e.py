@@ -54,7 +54,9 @@ def one_pass(app, rt, prog, inputs, seed):
     t2 = time.perf_counter()
     outs = rt.run(prog, args, public_key)
     t3 = time.perf_counter()
-    got = tuple(rt.decrypt(o, private_key) for o in outs)
+    # one jitted call + one fetch for all outputs: through the tunnel
+    # a blocking fetch costs a full ~35 ms round trip
+    got = tuple(rt.decrypt_many(outs, private_key))
     t4 = time.perf_counter()
     assert got == expected(*inputs), (got, expected(*inputs))
     return {"keygen_s": t1 - t0, "encrypt_s": t2 - t1,

@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from sunscreen_tpu.bfv.params import MAX_LOG_Q, BfvParams, \
-    batching_plain_modulus, default_moduli
+    batching_plain_modulus, default_moduli, default_moduli_u32
 from sunscreen_tpu.compiler import noise as noise_model
 from sunscreen_tpu.compiler.ir import FheProgram
 from sunscreen_tpu.compiler.passes import compile_program
@@ -105,6 +105,28 @@ class Compiler:
         self._security = 128
         self._noise_margin = DEFAULT_NOISE_MARGIN_BITS
         self._measured_model = False
+        self._engine = "auto"
+
+    def engine(self, which: str) -> "Compiler":
+        """Ciphertext word engine for the searched modulus chain:
+        'u32' (all moduli < 2^30 — the TPU production word: u32
+        storage, fused Pallas NTT/RNS kernels), 'u64' (fewer, larger
+        limbs — fastest on CPU hosts), or 'auto' (default: u32 when
+        the jax backend is a TPU, else u64). Explicit `with_params`
+        overrides. New TPU-native surface — the reference has one
+        engine (SEAL's 50-60-bit chains)."""
+        if which not in ("u32", "u64", "auto"):
+            raise ValueError("engine must be 'u32', 'u64' or 'auto'")
+        self._engine = which
+        return self
+
+    def _moduli_for(self, n: int):
+        eng = self._engine
+        if eng == "auto":
+            import jax
+            eng = "u32" if jax.default_backend() == "tpu" else "u64"
+        return (default_moduli_u32(n, self._security) if eng == "u32"
+                else default_moduli(n, self._security))
 
     def use_measured_noise_model(self, enabled: bool = True) -> "Compiler":
         """Search with the empirical model (encrypt + run each candidate
@@ -172,7 +194,7 @@ class Compiler:
                 continue
             try:
                 t = self._plain_constraint.modulus_for(n)
-                qs, sp = default_moduli(n, self._security)
+                qs, sp = self._moduli_for(n)
                 params = BfvParams(n, t, qs, sp, self._security)
             except (AssertionError, ValueError) as e:
                 last_err = e

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sunscreen_tpu.bfv import get_context
@@ -146,6 +147,46 @@ class FheRuntime:
         polys = np.stack(polys)
         return tcls.decode(polys if polys.shape[0] > 1 else polys[0],
                            self.params)
+
+    def decrypt_many(self, cts: list, private_key: PrivateKey) -> list:
+        """Decrypt several ciphertexts with ONE jitted call and ONE
+        host fetch. Through the tunneled device a blocking fetch costs
+        a full ~35 ms round trip and `decrypt` pays it per component —
+        batching is the difference between a serving flow bound by
+        compute and one bound by round trips. Falls back to per-ct
+        decryption when component shapes differ."""
+        import jax
+
+        from sunscreen_tpu.types.bfv_types import resolve_type
+        raws = [c for ct in cts for c in ct.cts]
+        if not raws:
+            return []
+        shape = raws[0].shape
+        if any(r.shape != shape for r in raws):
+            return [self.decrypt(ct, private_key) for ct in cts]
+
+        def batched(sk, stacked):
+            return jax.vmap(
+                lambda c: self._decrypt_and_noise(sk, c))(stacked)
+
+        fn = self._jitted(("decrypt_many", len(raws), shape), batched)
+        polys, words = fn(private_key.sk, jnp.stack(raws))
+        polys, (w_hi, w_lo) = jax.device_get((polys, words))
+        out = []
+        i = 0
+        for ct in cts:
+            n = len(ct.cts)
+            for j in range(n):
+                if self._budget_from_words((w_hi[i + j],
+                                            w_lo[i + j])) <= 0:
+                    raise TooMuchNoise(
+                        "ciphertext noise budget exhausted")
+            group = np.asarray(polys[i:i + n])
+            i += n
+            tcls = resolve_type(ct.type_name)
+            out.append(tcls.decode(group if n > 1 else group[0],
+                                   self.params))
+        return out
 
     def measure_noise_budget(self, ct: Ciphertext,
                              private_key: PrivateKey) -> float:

@@ -395,3 +395,63 @@ def test_run_with_multiple_key_sets():
         ct = rt.encrypt(Signed(val), pub, seed=3)
         (out,) = rt.run(prog, [ct], pub)
         assert rt.decrypt(out, priv) == val * val, f"key set seed={seed}"
+
+
+def test_compiler_engine_selection():
+    """`.engine('u32')` searches the u32 modulus chain (every prime
+    < 2^30 — the TPU production word); 'auto' picks u64 on CPU hosts.
+    Both compile and roundtrip the same program."""
+    from sunscreen_tpu.compiler import Compiler, PlainModulusConstraint, \
+        fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Cipher, Signed
+
+    @fhe_program(scheme="bfv")
+    def sq32(a: Cipher[Signed]):
+        return a * a
+
+    app32 = (Compiler().fhe_program(sq32).engine("u32")
+             .plain_modulus_constraint(PlainModulusConstraint.Raw(64))
+             .compile())
+    assert all(q < 1 << 30 for q in app32.params.coeff_modulus)
+    assert app32.params.special_modulus < 1 << 30
+    rt = Runtime.new_fhe(app32.params)
+    pub, priv = rt.generate_keys(galois=False, seed=2)
+    ct = rt.encrypt(Signed(9), pub, seed=4)
+    (out,) = rt.run(app32.get_program(sq32), [ct], pub)
+    assert rt.decrypt(out, priv) == 81
+    # auto on this CPU test host = u64 chain
+    app_auto = (Compiler().fhe_program(sq32)
+                .plain_modulus_constraint(PlainModulusConstraint.Raw(64))
+                .compile())
+    assert any(q >= 1 << 30 for q in app_auto.params.coeff_modulus)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        Compiler().engine("u128")
+
+
+def test_decrypt_many_matches_decrypt():
+    """decrypt_many = one jitted call + one fetch for several outputs
+    (the tunnel-RTT batching path); results and the noise guard match
+    per-ct decrypt."""
+    from sunscreen_tpu.compiler import Compiler, PlainModulusConstraint, \
+        fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Cipher, Signed
+
+    @fhe_program(scheme="bfv")
+    def two(a: Cipher[Signed], b: Cipher[Signed]):
+        return a * b, a + b
+
+    app = (Compiler().fhe_program(two)
+           .plain_modulus_constraint(PlainModulusConstraint.Raw(64))
+           .compile())
+    rt = Runtime.new_fhe(app.params)
+    pub, priv = rt.generate_keys(galois=False, seed=7)
+    x = rt.encrypt(Signed(6), pub, seed=1)
+    y = rt.encrypt(Signed(-4), pub, seed=2)
+    outs = rt.run(app.get_program(two), [x, y], pub)
+    many = rt.decrypt_many(outs, priv)
+    single = [rt.decrypt(o, priv) for o in outs]
+    assert many == single == [-24, 2]
+    assert rt.decrypt_many([], priv) == []
