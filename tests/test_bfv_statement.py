@@ -122,7 +122,8 @@ def test_decryption_statement(setup):
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("SUNSCREEN_TPU_SLOW_TESTS"),
-    reason="~2.5 min; run with SUNSCREEN_TPU_SLOW_TESTS=1 "
+    reason="~1 min after the round-4 curve speedups; "
+    "run with SUNSCREEN_TPU_SLOW_TESTS=1 "
            "(driver bench: benchmarks/sdlp_bench.py)")
 def test_sdlp_at_production_parameters():
     """Prove + verify a PublicKeyEncryption statement at N=1024/k=2 —

@@ -229,7 +229,8 @@ def test_compressed_bridge_tamper_rejected(rt_keys):
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("SUNSCREEN_TPU_SLOW_TESTS"),
-    reason="~8 min; run with SUNSCREEN_TPU_SLOW_TESTS=1")
+    reason="~80 s after the round-4 curve speedups; "
+           "run with SUNSCREEN_TPU_SLOW_TESTS=1")
 def test_linked_proof_at_production_parameters():
     """A COMPLETE linked proof (SDLP + BP + compressed bridge) at the
     reference's production regime N=1024/k=2 (`logproof/tests/seal.rs`
