@@ -76,7 +76,7 @@ def main():
         t_encrypt = time.perf_counter()
         outs = rt.run(app.get_program(prog_fn), args, public_key)
         t_run = time.perf_counter()
-        got = tuple(rt.decrypt(o, private_key) for o in outs)
+        got = tuple(rt.decrypt_many(outs, private_key))
         t_dec = time.perf_counter()
         assert got == want, (got, want)
         print(f"{prog_fn.name}: ok {got}  compile={t_compile-t_start:.3f}s"

@@ -140,7 +140,10 @@ class FheRuntime:
         for c in ct.cts:
             fn = self._jitted(("decrypt", c.shape),
                               self._decrypt_and_noise)
-            poly, words = fn(private_key.sk, c)
+            # one fetch for poly + noise words (a blocking fetch costs
+            # a full tunnel round trip — see decrypt_many for the
+            # multi-output batching)
+            poly, words = jax.device_get(fn(private_key.sk, c))
             if self._budget_from_words(words) <= 0:
                 raise TooMuchNoise("ciphertext noise budget exhausted")
             polys.append(np.asarray(poly))
