@@ -84,13 +84,18 @@ def lower_program_sharded(compiled, ctx, mesh, rlk=None, gks=None,
     `ct_spec`: PartitionSpec for ciphertext args, matching their
     [batch?, n_comp, k, N] shape (default: batch-sharded over the
     mesh's first axis, limb-sharded over its second when present).
-    `pt_spec`: spec for plaintext args (default: replicated). Keys
-    (rlk/gks) travel as closure constants; shard them with device_put
-    beforehand if desired.
+    `pt_spec`: spec for plaintext args (default: replicated). The keys
+    bound here travel as jit ARGUMENTS under the hood (same fix as the
+    single-chip executor: a closure would bake this key set into the
+    compilation), with their current device placement/sharding
+    respected — device_put them onto the mesh beforehand to shard.
 
-    Returns fn(*args) -> [outputs] with in/out shardings bound.
+    Returns fn(*args) -> [outputs] with in/out shardings bound; the
+    returned callable always evaluates under the rlk/gks given here.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sunscreen_tpu.bfv.keys import GaloisKeys, KswKey
 
     if ct_spec is None:
         axes = mesh.axis_names
@@ -98,9 +103,22 @@ def lower_program_sharded(compiled, ctx, mesh, rlk=None, gks=None,
         ct_spec = P(axes[0], None, limb, None)
     if pt_spec is None:
         pt_spec = P()
-    fn = lower_program(compiled, ctx, rlk=rlk, gks=gks, jit=False)
     ct_sh = NamedSharding(mesh, ct_spec)
     pt_sh = NamedSharding(mesh, pt_spec)
+
+    has_rlk = rlk is not None
+    elems = tuple(sorted(gks.keys)) if gks is not None else None
+
+    def run_with_keys(key_leaves, *args):
+        r = KswKey(key_leaves[0], key_leaves[1]) if has_rlk else None
+        off = 2 if has_rlk else 0
+        g = None
+        if elems is not None:
+            g = GaloisKeys({e: KswKey(key_leaves[off + 2 * i],
+                                      key_leaves[off + 2 * i + 1])
+                            for i, e in enumerate(elems)})
+        return lower_program(compiled, ctx, rlk=r, gks=g,
+                             jit=False)(*args)
 
     n_inputs = sum(1 for nd in compiled.prog.nodes
                    if nd.op in (Op.INPUT_CIPHERTEXT,
@@ -112,5 +130,14 @@ def lower_program_sharded(compiled, ctx, mesh, rlk=None, gks=None,
         elif nd.op == Op.INPUT_PLAINTEXT:
             kinds[nd.data] = "pt"
     in_shardings = tuple(ct_sh if k == "ct" else pt_sh for k in kinds)
-    return jax.jit(fn, in_shardings=in_shardings,
-                   out_shardings=ct_sh)
+    leaves = []
+    if has_rlk:
+        leaves += [rlk.k0, rlk.k1]
+    if elems is not None:
+        for e in elems:
+            leaves += [gks[e].k0, gks[e].k1]
+    # keys keep whatever sharding/placement the caller gave them
+    jitted = jax.jit(run_with_keys,
+                     in_shardings=(None,) + in_shardings,
+                     out_shardings=ct_sh)
+    return lambda *args: jitted(leaves, *args)
