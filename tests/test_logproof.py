@@ -128,3 +128,52 @@ def test_sdlp_shared_commitment():
     expect = cv.msm([b for b in s_1[lo:hi]] + [12345],
                     gens.h[lo:hi] + [u])
     assert proof.w_shared == expect
+
+
+def test_native_scalar_arithmetic_edges():
+    """The native Montgomery mod-L helpers against python-int oracles
+    at edge values (new round-4 C++: fork challenges draw through
+    sc_from_wide; ipp_s chains sc_montmul; sc_vec_mul is the exposed
+    batched multiply)."""
+    import secrets
+
+    from sunscreen_tpu.zk import curve25519 as cv
+    from sunscreen_tpu.zk import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    L = cv.L
+    edges = [0, 1, 2, L - 1, L - 2, (L - 1) // 2, 1 << 252,
+             secrets.randbelow(L), secrets.randbelow(L)]
+    a = edges
+    b = list(reversed(edges))
+    got = native.sc_vec_mul(a, b)
+    want = [(x * y) % L for x, y in zip(a, b)]
+    assert got == want
+    # s-vector with edge challenges incl. 1 and L-1
+    cs = [1, L - 1, secrets.randbelow(L)]
+    n = 8
+    want_s = []
+    for i in range(n):
+        acc = 1
+        for j in range(3):
+            if (i >> j) & 1:
+                acc = acc * cs[3 - 1 - j] % L
+        want_s.append(acc)
+    assert native.ipp_s_vector(cs, n) == want_s
+    # fork challenges at counts that exercise the 128-batch remainders
+    from sunscreen_tpu.logproof import linear_relation as lr
+    from sunscreen_tpu.zk.merlin import Transcript
+    for count in (0, 1, 127, 128, 129, 300):
+        t_nv = Transcript(b"edge"); t_nv.append_u64(b"c", count)
+        t_py = Transcript(b"edge"); t_py.append_u64(b"c", count)
+        got = native.fork_challenges(t_nv.strobe, b"x", count)
+        # python reference path
+        lib = native._LIB
+        native._LIB = None
+        try:
+            want = lr._challenge_scalars(t_py, b"x", count)
+        finally:
+            native._LIB = lib
+        assert got == want, count
+        assert bytes(t_nv.strobe.state) == bytes(t_py.strobe.state)
