@@ -65,9 +65,7 @@ def main():
     t_cmux = timeit(cmux_batch, d0, d1)
 
     lwe_cts = jax.vmap(lambda k: ops.encrypt_lwe(
-        torus.encode(jnp.uint64(1), 2), flat,
-        GLWE.as_lwe_def() if hasattr(GLWE, "as_lwe_def") else LweDef(
-            dim=GLWE.size * GLWE.poly_degree, std=GLWE.std), k))(
+        torus.encode(jnp.uint64(1), 2), flat, GLWE.as_lwe, k))(
         jax.random.split(jax.random.fold_in(key, 6), batch))
 
     @jax.jit
