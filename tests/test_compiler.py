@@ -455,3 +455,35 @@ def test_decrypt_many_matches_decrypt():
     single = [rt.decrypt(o, priv) for o in outs]
     assert many == single == [-24, 2]
     assert rt.decrypt_many([], priv) == []
+
+
+def test_run_with_multiple_key_sets_galois():
+    """The keys-as-arguments executor with GALOIS keys: a rotation
+    program under two different key sets (the relin-only regression
+    test doesn't exercise the galois leaves)."""
+    import numpy as np
+
+    from sunscreen_tpu.bfv import BfvParams
+    from sunscreen_tpu.compiler import Compiler, fhe_program
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.types import Batched, Cipher
+
+    @fhe_program(scheme="bfv")
+    def rot(a: Cipher[Batched]):
+        return (a << 2) + a
+
+    params = BfvParams.insecure(poly_degree=32, limbs=2, limb_bits=40)
+    app = Compiler().with_params(params).fhe_program(rot).compile()
+    rt = Runtime.new_fhe(params)
+    prog = app.get_program(rot)
+    n = params.poly_degree
+    rows = np.arange(n, dtype=np.uint64) % 7
+    r2 = rows.reshape(2, n // 2)
+    want = (np.concatenate([np.roll(r2[0], -2), np.roll(r2[1], -2)])
+            + rows)
+    for seed in (5, 15):
+        pub, priv = rt.generate_keys(seed=seed)
+        ct = rt.encrypt(Batched(rows), pub, seed=seed + 1)
+        (out,) = rt.run(prog, [ct], pub)
+        got = np.asarray(rt.decrypt(out, priv)).reshape(-1)
+        np.testing.assert_array_equal(got, want, err_msg=f"seed={seed}")
