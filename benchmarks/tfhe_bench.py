@@ -24,11 +24,11 @@ import jax.numpy as jnp  # noqa: E402
 
 from sunscreen_tpu.tfhe import (GlweDef, LweDef,  # noqa: E402
                                 RadixDecomposition)
-from sunscreen_tpu.tfhe import ops, torus  # noqa: E402
+from sunscreen_tpu.tfhe import ops, params, torus  # noqa: E402
 
 # reference 80-bit sets (params.rs:263-284) + bench radix (ops.rs)
-LWE = LweDef(dim=512, std=0.000001842343446823844)
-GLWE = GlweDef(size=1, poly_degree=1024, std=1.0900242107812643e-12)
+LWE = params.LWE_512_80
+GLWE = params.GLWE_1_1024_80
 # radix (3, 4): the reference's documented PBS configuration at these
 # exact parameters (`programmable_bootstrapping.rs:200-280` doctest,
 # executed in its CI). Round 4 root-caused the earlier (3, 4)

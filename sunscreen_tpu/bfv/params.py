@@ -66,6 +66,45 @@ def batching_plain_modulus(poly_degree: int, bits: int) -> int:
     return primes.gen_ntt_primes(bits, 1, poly_degree)[0]
 
 
+def coefficient_modulus_create(poly_degree: int,
+                               bit_sizes: list[int]) -> tuple[int, ...]:
+    """SEAL `CoeffModulus::Create` semantics: for each distinct bit
+    size, generate as many NTT-friendly primes as requested (descending
+    from the top of the range), then assign them to the requested
+    positions smallest-first within each size group. Pinned against the
+    reference's published output vector in tests/test_reference_anchors
+    (`seal_fhe/src/modulus.rs` `can_create_custom_coefficient_modulus`).
+    """
+    by_size: dict[int, list[int]] = {}
+    for b in set(bit_sizes):
+        by_size[b] = primes.gen_ntt_primes(b, bit_sizes.count(b),
+                                           poly_degree)
+    return tuple(by_size[b].pop() for b in bit_sizes)
+
+
+# SEAL's hardcoded BFVDefault 128-bit modulus chains (seal::util::
+# global_variables defaults — published constants; the reference
+# re-exports them as `logproof/src/rings.rs` SealQ128_{1024..8192} and
+# via `seal_fhe/src/modulus.rs` CoefficientModulus::bfv_default).
+# Carried so users can run our engine on SEAL's exact chains; anchor
+# properties (primality, 2N-congruence, HE-standard budget) pinned in
+# tests/test_reference_anchors.py.
+SEAL_BFV_DEFAULT_128 = {
+    1024: (0x7e00001,),
+    2048: (0x3fffffff000001,),
+    4096: (0xffffee001, 0xffffc4001, 0x1ffffe0001),
+    8192: (0x7fffffd8001, 0x7fffffc8001, 0xfffffffc001,
+           0xffffff6c001, 0xfffffebc001),
+}
+# bfv_default single-prime chains at N=1024 for the higher security
+# tiers (seal_fhe modulus.rs test `can_create_default_coefficient_
+# modulus`): TC192 -> 520193, TC256 -> 12289. These two DO coincide
+# with descending-from-top get_primes output, so they pin
+# `gen_ntt_primes` directly.
+SEAL_BFV_DEFAULT_1024 = {128: (0x7e00001,), 192: (520193,),
+                         256: (12289,)}
+
+
 def default_moduli(poly_degree: int, security: int = 128
                    ) -> tuple[tuple[int, ...], int]:
     """(ciphertext coeff moduli, special keyswitch prime) within the

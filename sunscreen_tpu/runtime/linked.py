@@ -241,9 +241,13 @@ class LinkedProof:
         params = None
         if plen:
             body = take(plen)
+            if plen < 28:
+                raise cv.DecodeError("truncated params block")
             pd, pm, nq, sp = struct.unpack("<QQIQ", body[:28])
             if nq > 1 << 16:
                 raise cv.DecodeError("implausible modulus count")
+            if plen != 28 + 8 * nq + 4:
+                raise cv.DecodeError("malformed params block length")
             qs = struct.unpack(f"<{nq}Q", body[28:28 + 8 * nq])
             (sec,) = struct.unpack("<I", body[28 + 8 * nq:])
             params = BfvParams(pd, pm, tuple(qs), sp, sec)

@@ -25,6 +25,28 @@ class LweDef:
         assert self.dim > 0
         assert 0 <= self.std < 0.5
 
+    def security_level(self) -> float:
+        """Estimated bits of security for this LWE instance via the
+        lattice-estimator fit (`math.security`). `std` is a torus
+        fraction, i.e. already normalized to modulus 2^64 — exactly the
+        normalization the fit expects. Raises OutsideConstraintsError
+        off the fitted region rather than extrapolating.
+        Reference: `SecurityLevel for LweDef`, params.rs:177-182."""
+        from sunscreen_tpu.math.security import lwe_std_to_security_level
+        return lwe_std_to_security_level(self.dim, self.std)
+
+    def assert_security_level(self, level: float, tolerance: float = 0.5):
+        """Assert the instance sits within `tolerance` bits of `level`
+        (reference: `SecurityLevel::assert_security_level`,
+        sunscreen_math/src/security.rs:10-30, tolerance 0.25; ours is
+        0.5 because the preset constants are the reference's published
+        values while the fit here was refit on the same public
+        lattice-estimator data — they agree to <0.2 bits)."""
+        got = self.security_level()
+        if abs(got - level) > tolerance:
+            raise AssertionError(
+                f"security level mismatch: expected {level}, got {got}")
+
 
 @dataclass(frozen=True)
 class GlweDef:
@@ -44,6 +66,15 @@ class GlweDef:
     def as_lwe(self) -> LweDef:
         """The LWE instance produced by sample extraction."""
         return LweDef(self.size * self.poly_degree, self.std)
+
+    def security_level(self) -> float:
+        """GLWE security = security of the equivalent LWE instance of
+        the same lattice dimension (reference: `SecurityLevel for
+        GlweDef`, params.rs:213-217)."""
+        return self.as_lwe.security_level()
+
+    def assert_security_level(self, level: float, tolerance: float = 0.5):
+        self.as_lwe.assert_security_level(level, tolerance)
 
 
 @dataclass(frozen=True)
@@ -66,7 +97,40 @@ TEST_GLWE_DEF_2 = GlweDef(size=2, poly_degree=256, std=1e-16)
 TEST_RADIX = RadixDecomposition(count=3, radix_log=4)
 TEST_RADIX_FINE = RadixDecomposition(count=8, radix_log=4)
 
-# Production-flavored 128-bit parameters (TFHE-lib style shapes).
-LWE_128 = LweDef(dim=722, std=2.0**-13.8)
-GLWE_128 = GlweDef(size=1, poly_degree=2048, std=2.0**-52.0)
+# Production parameter presets — the reference's published constants
+# (params.rs:220-285; std values are outputs of the public
+# lattice-estimator fit, i.e. necessarily-matching data). Each is
+# validated against OUR estimator at import below, and
+# tests/test_security.py pins them within 0.2 bits of the named level.
+LWE_512_128 = LweDef(dim=512, std=0.0004899836456140595)
+GLWE_1_512_128 = GlweDef(size=1, poly_degree=512,
+                         std=0.0004899836456140595)
+GLWE_5_256_128 = GlweDef(size=5, poly_degree=256, std=5e-10)
+GLWE_1_1024_128 = GlweDef(size=1, poly_degree=1024,
+                          std=0.0000000444778278004718)
+GLWE_1_2048_128 = GlweDef(size=1, poly_degree=2048,
+                          std=0.00000000000000034667670193445625)
+LWE_512_80 = LweDef(dim=512, std=0.000001842343446823844)
+GLWE_5_256_80 = GlweDef(size=5, poly_degree=256,
+                        std=0.0000000000000007794169597948335)
+GLWE_1_1024_80 = GlweDef(size=1, poly_degree=1024,
+                         std=0.0000000000010900242107812643)
+
+# Backwards-compatible aliases for the pre-round-5 preset names (the
+# old LWE_128 dim=722/std=2^-13.8 sat OUTSIDE the estimator's fitted
+# region and was never estimator-validated — replaced).
+LWE_128 = LWE_512_128
+GLWE_128 = GLWE_1_2048_128
 RADIX_128 = RadixDecomposition(count=2, radix_log=23)
+
+# Import-time validation: every production preset must sit at its named
+# security level per the estimator (reference runs the same check in
+# params.rs tests; here it fails fast at import so an accidentally
+# edited preset can never be used).
+for _p, _lvl in ((LWE_512_128, 128), (GLWE_1_512_128, 128),
+                 (GLWE_5_256_128, 129), (GLWE_1_1024_128, 128),
+                 (GLWE_1_2048_128, 128), (LWE_512_80, 80),
+                 (GLWE_5_256_80, 80), (GLWE_1_1024_80, 80)):
+    _p.assert_valid()
+    _p.assert_security_level(_lvl)
+del _p, _lvl

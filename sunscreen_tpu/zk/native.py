@@ -9,6 +9,7 @@ backends): compiled on demand with g++, with the pure-python
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,6 +22,17 @@ _SRC = os.path.join(os.path.dirname(__file__), "..", "_native",
                     "ristretto.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "..", "_native",
                    "libristretto.so")
+# Source-content hash recorded next to the built .so: a -march=native
+# binary from one host must never be silently reused for different
+# source (mtimes are useless after checkout — both files get
+# checkout-time stamps), and the .so itself is gitignored so a foreign
+# host always builds its own.
+_SO_HASH = _SO + ".srchash"
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def get_lib():
@@ -30,13 +42,18 @@ def get_lib():
             return _LIB
         _TRIED = True
         try:
-            src_mtime = os.path.getmtime(_SRC)
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < src_mtime):
+            want = _src_hash()
+            have = None
+            if os.path.exists(_SO) and os.path.exists(_SO_HASH):
+                with open(_SO_HASH) as f:
+                    have = f.read().strip()
+            if have != want:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-funroll-loops",
                      "-pthread", "-shared", "-fPIC", "-o", _SO, _SRC],
                     check=True, capture_output=True, timeout=120)
+                with open(_SO_HASH, "w") as f:
+                    f.write(want)
             lib = ctypes.CDLL(_SO)
             for name in ("ristretto_msm", "ristretto_batch_scalarmul",
                          "ristretto_fold", "ristretto_scale_all",

@@ -393,6 +393,25 @@ def test_linked_proof_serialization_roundtrip(rt_keys):
     with pytest.raises(cv.DecodeError):
         LinkedProof.from_bytes(blob + b"\x00", proof.vk)
 
+    # malformed params block raises DecodeError (not struct.error):
+    # locate the params length word after the message-id table
+    import struct
+    (n_mids,) = struct.unpack_from("<I", blob, 0)
+    poff = 4 + 8 * n_mids
+    (plen,) = struct.unpack_from("<I", blob, poff)
+    assert plen >= 28, "fixture proof should carry params"
+    for bad_plen in (1, 27, plen - 1, plen + 1):
+        # keep total length consistent so only the params block is bad
+        forged = bytearray(blob)
+        struct.pack_into("<I", forged, poff, bad_plen)
+        if bad_plen < plen:
+            del forged[poff + 4 + bad_plen:poff + 4 + plen]
+        else:
+            forged[poff + 4 + plen:poff + 4 + plen] = (
+                b"\x00" * (bad_plen - plen))
+        with pytest.raises(cv.DecodeError):
+            LinkedProof.from_bytes(bytes(forged), proof.vk)
+
     # values-mode proof (params field absent) roundtrips too
     b2 = LogProofBuilder(rt)
     _, link = b2.encrypt_returning_link(Unsigned64(9), pub, seed=52)

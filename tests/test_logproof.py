@@ -45,6 +45,39 @@ def test_zk_inner_product_roundtrip():
     assert ip.verify(rt, Transcript(b"ipt"), t, x, g, h, u)
 
 
+def test_zk_inner_product_native_matches_python_bytes(monkeypatch):
+    """The native ipp_prove loop must produce BYTE-IDENTICAL proofs to
+    the pure-python prover under an injected deterministic rand_fn
+    (the property `ip.create`'s docstring documents)."""
+    from sunscreen_tpu.zk import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    n = 16
+    g = [cv.BASEPOINT * (i + 2) for i in range(n)]
+    h = [cv.BASEPOINT * (i + 100) for i in range(n)]
+    u = ip.get_u()
+    v1 = [int(x) for x in RNG.integers(1, 1 << 30, n)]
+    v2 = [int(x) for x in RNG.integers(1, 1 << 30, n)]
+    rho = 424242
+    x = sum(a * b for a, b in zip(v1, v2)) % cv.L
+    t = cv.msm(v1 + v2 + [rho], g + h + [u])
+
+    def make_rand():
+        state = [0]
+        def rand():
+            state[0] += 1
+            return (state[0] * 0x9E3779B97F4A7C15 + 12345) % cv.L
+        return rand
+
+    native_proof = ip.create(Transcript(b"ipnat"), v1, v2, rho, t,
+                             g, h, u, rand_fn=make_rand())
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    python_proof = ip.create(Transcript(b"ipnat"), v1, v2, rho, t,
+                             g, h, u, rand_fn=make_rand())
+    assert native_proof.to_bytes() == python_proof.to_bytes()
+    assert ip.verify(native_proof, Transcript(b"ipnat"), t, x, g, h, u)
+
+
 def make_relation(q=12289, d=4, bound_bits=2):
     """1x1 relation: a * s = t in Z_q[X]/(X^d+1)."""
     f = [1] + [0] * (d - 1) + [1]

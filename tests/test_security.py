@@ -86,3 +86,32 @@ def test_probe_security_matches_table():
     assert probe_security(8192, 218, 128)
     assert not probe_security(8192, 219, 128)
     assert not probe_security(1000, 10, 128)  # unknown degree
+
+
+def test_tfhe_production_presets_meet_named_levels():
+    """The TFHE production presets carry the reference's published std
+    constants (params.rs:220-285); our estimator must rate each within
+    0.2 bits of its named level (the reference's own params.rs test
+    asserts the same levels, incl. GLWE_5_256_128 at 129)."""
+    from sunscreen_tpu.tfhe import params as tp
+    cases = [(tp.LWE_512_128, 128), (tp.GLWE_1_512_128, 128),
+             (tp.GLWE_5_256_128, 129), (tp.GLWE_1_1024_128, 128),
+             (tp.GLWE_1_2048_128, 128), (tp.LWE_512_80, 80),
+             (tp.GLWE_5_256_80, 80), (tp.GLWE_1_1024_80, 80)]
+    for preset, level in cases:
+        got = preset.security_level()
+        assert abs(got - level) <= 0.2, (preset, level, got)
+    # more noise at fixed dimension => more security (sanity on the fit)
+    from sunscreen_tpu.tfhe.params import LweDef
+    lo = LweDef(dim=512, std=tp.LWE_512_80.std).security_level()
+    hi = LweDef(dim=512, std=tp.LWE_512_80.std * 10).security_level()
+    assert hi > lo
+
+
+def test_tfhe_security_level_errors_off_fit_region():
+    """Presets outside the estimator's fitted polytope must raise, not
+    extrapolate (the old LWE_128 dim=722/std=2^-13.8 preset did exactly
+    this and was replaced in round 5)."""
+    from sunscreen_tpu.tfhe.params import LweDef
+    with pytest.raises(OutsideConstraintsError):
+        LweDef(dim=722, std=2.0**-13.8).security_level()

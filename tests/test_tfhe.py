@@ -286,9 +286,9 @@ def test_pbs_reference_doctest_params():
     doctest its CI executes). Round 4: the earlier wrong-decrypts at
     this radix were the padded-output boundary saturation, not noise
     (measured |phase err| <= 2^59.7 vs the 2^62 margin here)."""
-    LWE80 = LweDef(dim=512, std=0.000001842343446823844)
-    GLWE80 = GlweDef(size=1, poly_degree=1024,
-                     std=1.0900242107812643e-12)
+    from sunscreen_tpu.tfhe import GLWE_1_1024_80, LWE_512_80
+    LWE80 = LWE_512_80
+    GLWE80 = GLWE_1_1024_80
     radix = RadixDecomposition(count=3, radix_log=4)
     ks_radix = RadixDecomposition(count=8, radix_log=6)
     key = jax.random.key(11)
