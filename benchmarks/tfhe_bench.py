@@ -5,8 +5,10 @@ group, LWE_512_80 -> GLWE_1_1024_80, radix 3x4).
 
 Measures single-PBS latency and vmapped batched-PBS throughput on the
 current jax backend (run WITHOUT a cpu override to target the TPU).
-Usage: python benchmarks/tfhe_bench.py [batch] [iters]
-Prints one JSON line. Recorded numbers: benchmarks/PERF_NOTES.md.
+Usage: python benchmarks/tfhe_bench.py [batch] [iters] [engine]
+engine: "ntt" (default — NTT-domain bootstrap key through the fused
+u32 Pallas pipeline) or "u64" (per-CMUX exact CRT; the pre-round-5
+path). Prints one JSON line. Recorded: benchmarks/PERF_NOTES.md.
 """
 
 import json
@@ -18,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 iters = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+engine = sys.argv[3] if len(sys.argv) > 3 else "ntt"
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -56,6 +59,8 @@ def main():
     ksk = ops.generate_keyswitch_key(
         ops.flatten_glwe_sk(glwe_sk), lwe_sk, LWE, KS_RADIX,
         jax.random.fold_in(key, 3))
+    if engine == "ntt":
+        bsk = ops.bootstrap_key_to_ntt(bsk, GLWE, PBS_RADIX)
     tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, 2, GLWE,
                                  output_bits=BITS)
 
@@ -97,6 +102,7 @@ def main():
 
     print(json.dumps({
         "metric": "tfhe_pbs_lwe512_glwe1x1024",
+        "engine": engine,
         "latency_ms": round(lat_ms, 2),
         "batch": batch,
         "throughput_pbs_per_s": round(thr, 1),

@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sunscreen_tpu.tfhe import torus
+from sunscreen_tpu.tfhe import poly, torus
 from sunscreen_tpu.tfhe.params import TORUS_BITS, GlweDef, LweDef, \
     RadixDecomposition
 from sunscreen_tpu.tfhe.poly import get_torus_plan, \
@@ -339,6 +339,97 @@ def generate_bootstrap_key(lwe_sk, glwe_sk, lwe: LweDef, glwe: GlweDef,
     return jnp.stack(rows)  # [n, k+1, l, k+1, N]
 
 
+class NttBootstrapKey:
+    """Bootstrap key pre-transformed to the u32 CRT NTT domain — the
+    analogue of the reference keeping its bootstrap keys in Fourier
+    form (`blind_rotation.rs` consumes `BootstrapKeyFft`). rows:
+    [n_lwe, (k+1)*l, k+1, n_primes, N] u32, digit axis ordered
+    (glwe_component i2, level j). Converting ONCE removes the
+    (k+1)^2*l GGSW-row forward transforms from every CMUX: a blind-
+    rotation step is then (k+1)*l digit transforms + one fused
+    contraction/inverse kernel instead of 14 transforms."""
+
+    def __init__(self, rows, glwe: GlweDef, radix: RadixDecomposition):
+        self.rows = rows
+        self.glwe = glwe
+        self.radix = radix
+
+    def tree_flatten(self):
+        return (self.rows,), (self.glwe, self.radix)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    NttBootstrapKey,
+    lambda b: b.tree_flatten(),
+    NttBootstrapKey.tree_unflatten)
+
+
+def bootstrap_key_to_ntt(bsk, glwe: GlweDef,
+                         radix: RadixDecomposition) -> NttBootstrapKey:
+    """[n, k+1, l, k+1, N] u64 torus GGSW stack -> NttBootstrapKey
+    (u32 CRT NTT domain, one-time cost)."""
+    plan = poly.get_torus_plan_u32(glwe.poly_degree)
+    n_lwe, kk1, l, kk1b, n = bsk.shape
+    rows = bsk.reshape(n_lwe, kk1 * l, kk1b, n)
+    hat = plan.fwd(plan.torus_to_rns(rows))
+    return NttBootstrapKey(hat, glwe, radix)
+
+
+def _blind_rotate_ntt(test_poly, lwe_ct, bsk: NttBootstrapKey,
+                      glwe: GlweDef, radix: RadixDecomposition,
+                      log_v: int = 0):
+    """blind_rotate with an NTT-domain bootstrap key: per step, the
+    CMUX runs as acc += ToTorus(InvNtt(sum_dig Ntt(decomp(rot - acc))
+    * bsk_hat)) — (k+1)*l forward transforms and ONE fused
+    contraction+inverse Pallas kernel (pmntt.inv_ks); bit-identical to
+    the u64 path (both are exact integer pipelines)."""
+    n = glwe.poly_degree
+    kk = glwe.size
+    plan = poly.get_torus_plan_u32(n)
+    a = lwe_ct[..., :-1]
+    b = lwe_ct[..., -1]
+    b_t = _mod_switch_2n(b, n, log_v)
+    a_t = _mod_switch_2n(a, n, log_v)
+    acc = trivial_glwe(negacyclic_monomial_mul(
+        jnp.asarray(test_poly, dtype=U64), 2 * n - b_t, n), glwe)
+    kdig = (kk + 1) * radix.count
+
+    def body(i, acc):
+        rotated = negacyclic_monomial_mul(acc, a_t[..., i], n)
+        diff = rotated - acc          # exact torus subtraction mod 2^64
+        digits = torus.signed_decompose(diff, radix.radix_log,
+                                        radix.count)     # [l, ..., k+1, N]
+        d = jnp.moveaxis(digits, 0, -2)                  # [..., k+1, l, N]
+        d = d.reshape(*d.shape[:-3], kdig, n)
+        d_hat = plan.fwd(plan.signed_to_rns(d))          # [..., kdig, kp, N]
+        ks = jax.lax.dynamic_index_in_dim(
+            bsk.rows, i, 0, keepdims=False)              # [kdig, k+1, kp, N]
+        if kk == 1:
+            # the fused pmntt keyswitch kernel: digit contraction +
+            # inverse transform in one VMEM residency
+            upd = plan.contract_inv(d_hat, ks[:, 0], ks[:, 1])
+        else:
+            # generic GLWE size: u64 contraction (each product < q^2 <
+            # 2^60, kdig <= 16 terms cannot wrap) + plain inverse
+            from sunscreen_tpu.math import modular as m
+            kp = plan.base.k
+            acc64 = jnp.sum(
+                d_hat.astype(U64)[..., :, None, :, :] * ks.astype(U64),
+                axis=-4)
+            red = m.barrett_reduce_64(
+                acc64, plan.base.q64_dev.reshape(kp, 1),
+                plan.base.ratio_hi_dev.reshape(kp, 1),
+                plan.base.ratio_lo_dev.reshape(kp, 1)).astype(jnp.uint32)
+            upd = plan.plan.inv(red)
+        return acc + plan.to_torus(upd)                  # wrap add == CMUX
+
+    return jax.lax.fori_loop(0, a.shape[-1], body, acc)
+
+
 def _mod_switch_2n(x, n: int, log_v: int = 0):
     """Torus u64 -> Z_2N with rounding. `log_v > 0` zeroes the bottom
     log_v bits (rounds to a multiple of 2^log_v) so a multifunctional
@@ -355,7 +446,14 @@ def blind_rotate(test_poly, lwe_ct, bsk, glwe: GlweDef,
                  radix: RadixDecomposition, log_v: int = 0):
     """acc = X^{-b~} * v; for each i: acc = CMUX(bsk_i, acc,
     X^{a~_i} * acc). Returns GLWE([..., k+1, N]) whose phase is
-    v * X^{-phase~} (reference: `blind_rotation.rs:202`)."""
+    v * X^{-phase~} (reference: `blind_rotation.rs:202`).
+
+    Accepts either a raw u64 GGSW stack (exact CRT path per CMUX) or an
+    NttBootstrapKey (pre-transformed u32 NTT domain — the fast TPU
+    path; bit-identical outputs)."""
+    if isinstance(bsk, NttBootstrapKey):
+        return _blind_rotate_ntt(test_poly, lwe_ct, bsk, glwe, radix,
+                                 log_v)
     n = glwe.poly_degree
     a = lwe_ct[..., :-1]
     b = lwe_ct[..., -1]

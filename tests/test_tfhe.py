@@ -435,3 +435,31 @@ def test_plan_cache_miss_inside_jit_no_tracer_leak():
 
     out2 = jax.block_until_ready(g(ct))
     assert out1.shape == ct.shape and out2.shape == ct.shape
+
+
+def test_ntt_bootstrap_key_blind_rotate_bit_exact():
+    """blind_rotate with an NTT-domain bootstrap key (the u32 Pallas
+    engine; reference analogue: BootstrapKeyFft consumed by
+    `blind_rotation.rs`) is bit-identical to the per-CMUX exact CRT
+    path — both pipelines are exact integer arithmetic mod 2^64.
+    Covers the fused pmntt contraction (GLWE size 1) and the generic
+    widened contraction (size 2)."""
+    lwe = LweDef(dim=8, std=1e-16)
+    radix = TEST_RADIX
+    lwe_sk = ops.generate_binary_lwe_sk(lwe, jax.random.fold_in(KEY, 600))
+    bits = 2
+    ct = ops.encrypt_lwe(torus.encode(jnp.uint64(1), bits), lwe_sk, lwe,
+                         jax.random.fold_in(KEY, 601))
+    for size, key_off in ((1, 610), (2, 620)):
+        glwe = GlweDef(size=size, poly_degree=256, std=1e-16)
+        glwe_sk = ops.generate_binary_glwe_sk(
+            glwe, jax.random.fold_in(KEY, key_off))
+        bsk = ops.generate_bootstrap_key(
+            lwe_sk, glwe_sk, lwe, glwe, radix,
+            jax.random.fold_in(KEY, key_off + 1))
+        tp = ops.test_polynomial_for(lambda m: (m + 1) % 2, bits, glwe)
+        ref = ops.blind_rotate(tp, ct, bsk, glwe, radix)
+        got = ops.blind_rotate(
+            tp, ct, ops.bootstrap_key_to_ntt(bsk, glwe, radix), glwe,
+            radix)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -161,6 +161,33 @@ def main():
     check("multiply_relin decrypt vs plaintext oracle",
           np.array_equal(np.mod(got, t), want))
 
+    # TFHE u32 engine: NTT-domain bootstrap-key blind rotate vs the
+    # exact per-CMUX CRT path, on-device (short LWE dim: the check is
+    # the kernel lowering, not the full 512-step loop)
+    from sunscreen_tpu.tfhe import ops as tops
+    from sunscreen_tpu.tfhe import torus
+    from sunscreen_tpu.tfhe.params import (GlweDef, LweDef,
+                                           RadixDecomposition)
+    tlwe = LweDef(dim=8, std=1e-16)
+    tglwe = GlweDef(size=1, poly_degree=1024, std=1e-16)
+    tradix = RadixDecomposition(count=2, radix_log=23)
+    tkey = jax.random.key(5)
+    lwe_sk = tops.generate_binary_lwe_sk(tlwe, jax.random.fold_in(tkey, 0))
+    glwe_sk = tops.generate_binary_glwe_sk(tglwe,
+                                           jax.random.fold_in(tkey, 1))
+    bsk = tops.generate_bootstrap_key(lwe_sk, glwe_sk, tlwe, tglwe,
+                                      tradix, jax.random.fold_in(tkey, 2))
+    tp = tops.test_polynomial_for(lambda v: (v + 1) % 2, 2, tglwe)
+    ct = tops.encrypt_lwe(torus.encode(jnp.uint64(1), 2), lwe_sk, tlwe,
+                          jax.random.fold_in(tkey, 3))
+    want = np.asarray(jax.jit(lambda c: tops.blind_rotate(
+        tp, c, bsk, tglwe, tradix))(ct))
+    bsk_hat = tops.bootstrap_key_to_ntt(bsk, tglwe, tradix)
+    got = np.asarray(jax.jit(lambda c: tops.blind_rotate(
+        tp, c, bsk_hat, tglwe, tradix))(ct))
+    check("tfhe u32 ntt-bsk blind rotate vs exact CRT path",
+          np.array_equal(got, want))
+
     if FAILED:
         print("SELFCHECK FAILED:", FAILED, flush=True)
         raise SystemExit(1)
