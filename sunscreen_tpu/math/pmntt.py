@@ -188,6 +188,38 @@ def _plain_reduce(l, mw, q, mu, s1c, c32, c32_sh, kc):
     return _norm2q(r, q)
 
 
+def _fwd_core(x, bb, n1, n2, cv, ma, ba, mb, bbias, tws):
+    """Forward four-step transform of ONE [bb, n2(i2), n1(i1)]
+    natural-order tile to the flat NTT domain [bb, n2(j2), n1(j1)] —
+    the traced body shared by the plain forward kernel and the fused
+    keyswitch megakernel. cv/tws as in `_inv_core` (tws = the 5 forward
+    mid-twiddle tables [n1, n2])."""
+    q, mu, s1c, c32, c32_sh, kc = cv
+    # stage 1: contract i2 for each i1
+    t = jnp.swapaxes(x, 1, 2)                          # [bb, n1, n2]
+    a8 = _extract_i8(t, bb * n1, WB * n2)
+    p = jnp.dot(a8, ma, preferred_element_type=I32)
+    p = (p + ba).astype(U32)
+    l, mw = _assemble_lm(
+        [p[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+    l = l.reshape(bb, n1, n2)
+    mw = mw.reshape(bb, n1, n2)
+    r1 = _twiddled_reduce(l, mw, q, *tws)              # (i1, j2)
+    # stage 2: contract i1 for each j2
+    t2 = jnp.swapaxes(r1, 1, 2)                        # [bb, n2, n1]
+    a8b = _extract_i8(t2, bb * n2, WB * n1)
+    p2 = jnp.dot(a8b, mb, preferred_element_type=I32)
+    p2 = (p2 + bbias).astype(U32)
+    l2, mw2 = _assemble_lm(
+        [p2[:, b * LANES:(b + 1) * LANES] for b in range(NP)])
+    if n1 < LANES:
+        l2 = l2[:, :n1]
+        mw2 = mw2[:, :n1]
+    l2 = l2.reshape(bb, n2, n1)
+    mw2 = mw2.reshape(bb, n2, n1)
+    return _plain_reduce(l2, mw2, q, mu, s1c, c32, c32_sh, kc)  # (j2, j1)
+
+
 def _inv_core(x, bb, n1, n2, cv, ma, ba, mb, bbias, tws):
     """Inverse four-step transform of ONE [bb, n2(j2), n1(j1)] NTT-domain
     tile to natural order [bb, n2(i2), n1(i1)] — the traced body shared

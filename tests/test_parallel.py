@@ -235,3 +235,73 @@ def test_sharded_full_program_coeff_axis():
         ct_spec=P("batch", None, None, "coeff"))
     got = np.asarray(sharded(a_cts, b_cts)[0])
     np.testing.assert_array_equal(got, want)
+
+
+def test_batch_sharded_pbs_bit_exact():
+    """Batch-axis-sharded PBS (parallel/sharded_tfhe.py) matches the
+    single-device bootstrap exactly — keys replicated, ciphertext batch
+    split over the mesh (the TFHE throughput-serving layout,
+    VERDICT r4 #5)."""
+    from sunscreen_tpu.parallel.sharded_tfhe import batch_sharded_pbs
+    from sunscreen_tpu.tfhe import ops as tops
+    from sunscreen_tpu.tfhe import torus as ttorus
+    from sunscreen_tpu.tfhe.params import (GlweDef, LweDef,
+                                           RadixDecomposition)
+
+    key = jax.random.key(41)
+    lwe = LweDef(dim=8, std=1e-16)
+    glwe = GlweDef(size=1, poly_degree=256, std=1e-16)
+    pbs_radix = RadixDecomposition(count=3, radix_log=4)
+    ks_radix = RadixDecomposition(count=8, radix_log=6)
+    lwe_sk = tops.generate_binary_lwe_sk(lwe, jax.random.fold_in(key, 0))
+    glwe_sk = tops.generate_binary_glwe_sk(glwe,
+                                           jax.random.fold_in(key, 1))
+    bsk = tops.generate_bootstrap_key(lwe_sk, glwe_sk, lwe, glwe,
+                                      pbs_radix,
+                                      jax.random.fold_in(key, 2))
+    ksk = tops.generate_keyswitch_key(
+        tops.flatten_glwe_sk(glwe_sk), lwe_sk, lwe, ks_radix,
+        jax.random.fold_in(key, 3))
+    bits = 2
+    tp = tops.test_polynomial_for(lambda v: (v + 1) % 2, bits, glwe)
+    batch = 8
+    msgs = jnp.arange(batch, dtype=jnp.uint64) % 2
+    cts = jax.vmap(lambda v, k: tops.encrypt_lwe(
+        ttorus.encode(v, bits), lwe_sk, lwe, k))(
+        msgs, jax.random.split(jax.random.fold_in(key, 4), batch))
+
+    want = np.asarray(jax.vmap(
+        lambda c: tops.programmable_bootstrap_univariate(
+            c, tp, bsk, ksk, lwe, glwe, pbs_radix, ks_radix))(cts))
+
+    pmesh = Mesh(np.array(jax.devices()[:8]), axis_names=("batch",))
+    got = np.asarray(batch_sharded_pbs(pmesh, cts, tp, bsk, ksk, lwe,
+                                       glwe, pbs_radix, ks_radix))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_coeff_sharded_external_product_bit_exact(mesh):
+    """Coefficient-axis-sharded external product (DistributedNttPlan
+    transforms + local decomposition/reconstruction) is bit-identical
+    to tfhe.ops.external_product (the TFHE latency layout)."""
+    from sunscreen_tpu.parallel.sharded_tfhe import (
+        coeff_sharded_external_product)
+    from sunscreen_tpu.tfhe import ops as tops
+    from sunscreen_tpu.tfhe import torus as ttorus
+    from sunscreen_tpu.tfhe.params import GlweDef, RadixDecomposition
+
+    key = jax.random.key(43)
+    glwe = GlweDef(size=1, poly_degree=256, std=1e-16)
+    radix = RadixDecomposition(count=3, radix_log=4)
+    sk = tops.generate_binary_glwe_sk(glwe, jax.random.fold_in(key, 0))
+    sel = tops.encrypt_ggsw(1, sk, glwe, radix,
+                            jax.random.fold_in(key, 1))
+    msgs = jnp.asarray(RNG.integers(0, 2, glwe.poly_degree,
+                                    dtype=np.uint64))
+    ct = tops.encrypt_glwe(ttorus.encode(msgs, 2), sk, glwe,
+                           jax.random.fold_in(key, 2))
+
+    want = np.asarray(tops.external_product(sel, ct, glwe, radix))
+    got = np.asarray(coeff_sharded_external_product(
+        mesh, sel, ct, glwe, radix))
+    np.testing.assert_array_equal(got, want)
