@@ -659,19 +659,23 @@ class PallasMatmulNttPlan:
     # -- stage dispatch ------------------------------------------------------
 
     def _bb(self, rows: int, target_bytes: int | None = None) -> int:
-        """Rows per block: the x block (bb * N bytes) target; the i32
-        partial stacks (~12 * bb * N bytes total) dominate the
-        kernel's VMEM so keep bb * N around 256 KB. Override with
-        SUNSCREEN_TPU_PMNTT_BB for tuning."""
+        """Rows per block. Two bounds:
+        - the x block (bb * N bytes) target — 1 MB (bb=32 at N=8192)
+          measured fastest on the v5e;
+        - the i32 MXU partial stacks, which dominate scoped VMEM at
+          ~bb * (n1 + n2) * NP*LANES * 4 bytes (verified: the model
+          predicts 17.4 MB for the bb=64/N=1024 case Mosaic rejected
+          at 18.38 MB) — capped at 12 MB so both stages' stacks +
+          double-buffered blocks fit the 16 MB scoped-vmem limit.
+        Override with SUNSCREEN_TPU_PMNTT_BB_KB for tuning."""
         import os
         if target_bytes is None:
-            # 1 MB (bb=32 at N=8192) measured fastest on the v5e; 2 MB
-            # exceeds the 16 MB scoped-vmem limit (both stages' partial
-            # stacks live simultaneously)
             target_bytes = int(os.environ.get(
                 "SUNSCREEN_TPU_PMNTT_BB_KB", "1024")) << 10
         row_bytes = self.n * 4
-        b = max(1, min(rows, target_bytes // row_bytes))
+        stack_row_bytes = (self.n1 + self.n2) * NP * LANES * 4
+        vmem_cap = max(1, (12 << 20) // stack_row_bytes)
+        b = max(1, min(rows, target_bytes // row_bytes, vmem_cap))
         while rows % b:
             b -= 1
         return b
