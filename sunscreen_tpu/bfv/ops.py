@@ -326,9 +326,24 @@ def multiply(ctx: BfvContext, a, b):
     na, nb = a.shape[-3], b.shape[-3]
     # ONE batched centered extension Q -> Q∪B over both operands'
     # components (the fused kernel copies the source limbs through, so
-    # there is no concat pass), then ONE batched forward transform
-    both = ctx.plan_mul.fwd(ctx.conv_q_to_aux.extend(
-        jnp.concatenate([a, b], axis=-3), centered=True))
+    # there is no concat pass)
+    ext = ctx.conv_q_to_aux.extend(
+        jnp.concatenate([a, b], axis=-3), centered=True)
+    if (na == 2 and nb == 2 and ext.dtype == m.U32
+            and _plan_fused(ctx, ctx.plan_mul)
+            and _env_on("SUNSCREEN_TPU_FUSE_FT3")):
+        # round-5 megakernel: the four forward transforms + component
+        # convolution in ONE Pallas call — the operands' NTT image
+        # never exists in HBM. full=True additionally fuses the three
+        # inverse transforms (seven transforms/instance; separate env
+        # gate so each structure is measurable on-device).
+        full = _env_on("SUNSCREEN_TPU_FUSE_TFULL", default="0")
+        tensor = ctx.plan_mul.fwd_tensor3(ext, full=full)
+        if not full:
+            tensor = ctx.plan_mul.inv(tensor)
+        return _scale_convert(ctx, tensor)
+    # ONE batched forward transform over both operands' components
+    both = ctx.plan_mul.fwd(ext)
     a_hat = both[..., :na, :, :]
     b_hat = both[..., na:, :, :]
     km = ctx.mul_base.k
@@ -379,38 +394,49 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     c1 = kb.c1_dev.reshape(kk, 1)
     # all k digits extended + transformed in ONE batched NTT:
     # digits [..., k, N] -> ext [..., k(digit), kk(limb), N]
-    if getattr(ctx.plan_key, "mode", "") == "pallas":
-        # the fused MXU plan is exact for ANY u32 input (its byte-dot
-        # bound covers 2^32-wide values) and the NTT is linear mod each
-        # key modulus, so the raw digit broadcast IS the extension —
-        # and fwd_broadcast reads each digit once per limb via the
-        # block index map, never materializing the broadcast in HBM
-        d_hat = ctx.plan_key.fwd_broadcast(d)
+    if (getattr(ctx.plan_key, "mode", "") == "pallas"
+            and _plan_fused(ctx, ctx.plan_key)
+            and _env_on("SUNSCREEN_TPU_FUSE_KSFULL")):
+        # round-5 megakernel: digit forward transforms + contraction +
+        # inverse transform in ONE Pallas call — the [.., k, kk, N]
+        # NTT-domain digit stack never exists in HBM (~117 MB/step
+        # saved at the bench point; see pmntt._make_ks_full)
+        both = ctx.plan_key.ks_full(d, ksw.k0, ksw.k1)
     else:
-        d_hat = ctx.plan_key.fwd(m.w_reduce(d[..., :, None, :], qk,
-                                            c0, c1))
-    # inner products with the key rows: sum over the digit axis (u64
-    # engine: raw u64 sums, k terms each < q < 2^56 cannot wrap; u32
-    # engine: widened sums) + one reduction — residues are identical to
-    # the add_mod chain (bit-exact)
-    if (d_hat.dtype == m.U32 and _plan_fused(ctx, ctx.plan_key)
-            and _env_on("SUNSCREEN_TPU_FUSE_KS")):
-        # digit contraction fused INTO the inverse transform of both
-        # key components — the inner-product intermediate never
-        # round-trips HBM
-        both = ctx.plan_key.inv_ks(d_hat, ksw.k0, ksw.k1)
-    else:
-        fused = (_fused_pointwise("ks", ctx.key_base.moduli)
-                 if d_hat.dtype == m.U32 else None)
-        if fused is not None:
-            acc = fused(d_hat, ksw.k0, ksw.k1)  # [..., 2, kk, N]
+        if getattr(ctx.plan_key, "mode", "") == "pallas":
+            # the fused MXU plan is exact for ANY u32 input (its
+            # byte-dot bound covers 2^32-wide values) and the NTT is
+            # linear mod each key modulus, so the raw digit broadcast
+            # IS the extension — and fwd_broadcast reads each digit
+            # once per limb via the block index map, never
+            # materializing the broadcast in HBM
+            d_hat = ctx.plan_key.fwd_broadcast(d)
         else:
-            t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
-            t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
-            acc = jnp.stack([m.w_sum_reduce(t0, qk, c0, c1, axis=-3),
-                             m.w_sum_reduce(t1, qk, c0, c1, axis=-3)],
-                            axis=-3)
-        both = ctx.plan_key.inv(acc)
+            d_hat = ctx.plan_key.fwd(m.w_reduce(d[..., :, None, :], qk,
+                                                c0, c1))
+        # inner products with the key rows: sum over the digit axis
+        # (u64 engine: raw u64 sums, k terms each < q < 2^56 cannot
+        # wrap; u32 engine: widened sums) + one reduction — residues
+        # are identical to the add_mod chain (bit-exact)
+        if (d_hat.dtype == m.U32 and _plan_fused(ctx, ctx.plan_key)
+                and _env_on("SUNSCREEN_TPU_FUSE_KS")):
+            # digit contraction fused INTO the inverse transform of
+            # both key components — the inner-product intermediate
+            # never round-trips HBM
+            both = ctx.plan_key.inv_ks(d_hat, ksw.k0, ksw.k1)
+        else:
+            fused = (_fused_pointwise("ks", ctx.key_base.moduli)
+                     if d_hat.dtype == m.U32 else None)
+            if fused is not None:
+                acc = fused(d_hat, ksw.k0, ksw.k1)  # [..., 2, kk, N]
+            else:
+                t0 = ctx.plan_key.pointwise_mul(d_hat, ksw.k0)
+                t1 = ctx.plan_key.pointwise_mul(d_hat, ksw.k1)
+                acc = jnp.stack(
+                    [m.w_sum_reduce(t0, qk, c0, c1, axis=-3),
+                     m.w_sum_reduce(t1, qk, c0, c1, axis=-3)],
+                    axis=-3)
+            both = ctx.plan_key.inv(acc)
     # ONE batched mod-down over both key components
     u = ctx.mod_down.apply(both[..., :ctx.k, :], both[..., ctx.k, :])
     return (u[..., 0, :, :], u[..., 1, :, :])

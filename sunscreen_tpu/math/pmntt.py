@@ -508,6 +508,207 @@ def _make_inv_ks(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
     )
 
 
+def _make_ks_full(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
+                  interpret: bool):
+    """The keyswitch MEGAKERNEL: raw u32 digits -> keyswitched
+    coefficient-domain components in ONE Pallas call. Per grid instance
+    (limb, row-block) it forward-transforms each of the kdig raw digit
+    polynomials with `_fwd_core` (exact for ANY u32 input — the same
+    linearity argument as `fwd_broadcast`), contracts them against both
+    key components in 64-bit (hi, lo) accumulators, and inverse-
+    transforms the two results with `_inv_core`.
+
+    Removes BOTH keyswitch HBM glue arrays of the two-kernel path
+    (bfv.ops.keyswitch round-4 structure): the [rows, kdig, k, N]
+    NTT-domain digit stack (`fwd_broadcast` output) never exists, so
+    the op costs one broadcast digit read per key limb + the [rows, 2,
+    k, N] output write. Raw 64-bit accumulation: kdig * q^2 < 2^64 for
+    kdig <= 16, q < 2^30 (same bound as `_make_inv_ks`)."""
+    n2 = LANES
+    rpb = rows // bb
+
+    def kernel(consts_r, d_r, k0_r, k1_r,
+               fma_r, fba_r, fmb_r, fbb_r,
+               ftw_r, ftwsh_r, ftw32_r, ftw32sh_r, ftk_r,
+               ima_r, iba_r, imb_r, ibb_r,
+               itw_r, itwsh_r, itw32_r, itw32sh_r, itk_r, o_r):
+        li = pl.program_id(0)
+        q = consts_r[li, 0]
+        mu = consts_r[li, 1]
+        s1c = consts_r[li, 2]
+        c32 = consts_r[li, 3]
+        c32_sh = consts_r[li, 4]
+        kc = consts_r[li, 5]
+        cv = (q, mu, s1c, c32, c32_sh, kc)
+        ftws = (ftw_r[0], ftwsh_r[0], ftw32_r[0], ftw32sh_r[0], ftk_r[0])
+        itws = (itw_r[0], itwsh_r[0], itw32_r[0], itw32sh_r[0], itk_r[0])
+        a0hi = jnp.zeros((bb, n2, n1), U32)
+        a0lo = jnp.zeros((bb, n2, n1), U32)
+        a1hi = jnp.zeros((bb, n2, n1), U32)
+        a1lo = jnp.zeros((bb, n2, n1), U32)
+        for i in range(kdig):
+            y = _fwd_core(d_r[:, i], bb, n1, n2, cv,
+                          fma_r[0], fba_r[0], fmb_r[0], fbb_r[0], ftws)
+            hi, lo = _mul32(y, k0_r[i, 0])
+            a0hi, a0lo = _addc(a0hi, a0lo, lo)
+            a0hi = a0hi + hi
+            hi, lo = _mul32(y, k1_r[i, 0])
+            a1hi, a1lo = _addc(a1hi, a1lo, lo)
+            a1hi = a1hi + hi
+        acc0 = _reduce64(a0hi, a0lo, q, mu, s1c, c32, c32_sh)
+        o_r[:, 0, 0] = _inv_core(acc0, bb, n1, n2, cv, ima_r[0], iba_r[0],
+                                 imb_r[0], ibb_r[0], itws)
+        acc1 = _reduce64(a1hi, a1lo, q, mu, s1c, c32, c32_sh)
+        o_r[:, 1, 0] = _inv_core(acc1, bb, n1, n2, cv, ima_r[0], iba_r[0],
+                                 imb_r[0], ibb_r[0], itws)
+
+    def imap_d(i, j):
+        # digit block depends only on the row-block: every limb
+        # re-reads the same raw digits (no HBM broadcast materialized)
+        return (j, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+
+    def imap_key(i, j):
+        return (jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
+    def imap_out(i, j):
+        return (j, jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
+    def imap_limb(i, j):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    def imap_consts(i, j):
+        return (jnp.int32(0), jnp.int32(0))
+
+    ncols = NP * LANES
+    in_specs = [
+        pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, kdig, n2, n1), imap_d, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kdig, 1, n2, n1), imap_key, memory_space=pltpu.VMEM),
+        pl.BlockSpec((kdig, 1, n2, n1), imap_key, memory_space=pltpu.VMEM),
+        # forward tables (S1: K = 4*n2; S2: K = 4*n1; twiddles [n1, n2])
+        pl.BlockSpec((1, WB * n2, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, WB * n1, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, n1, n2), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5 + [
+        # inverse tables (A: K = 4*n1; B: K = 4*n2; twiddles [n2, n1])
+        pl.BlockSpec((1, WB * n1, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, WB * n2, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, n2, n1), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5
+    return pl.pallas_call(
+        kernel,
+        grid=(k, rpb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, 2, 1, n2, n1), imap_out,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 2, k, n2, n1), U32),
+        interpret=interpret,
+    )
+
+
+def _make_fwd_tensor3(n: int, k: int, rows: int, bb: int, n1: int,
+                      interpret: bool, full: bool):
+    """BFV tensor megakernel: forward-transforms the FOUR ciphertext
+    component polynomials (a0, a1, b0, b1) of one operand pair and
+    forms the NTT-domain tensor (a0b0, a0b1+a1b0, a1b1) mod q in VMEM —
+    the separate [rows, 4, k, N] NTT image of the operands never exists
+    in HBM (bfv.ops.multiply round-4 structure wrote + re-read it).
+
+    full=False writes the NTT-domain tensor (inverse-transformed by the
+    plain kernel next); full=True also runs the three inverse
+    transforms in-kernel and writes the coefficient-domain tensor —
+    seven transforms per instance, measured separately (round-4's
+    3-inverse fusion lost to VMEM pressure; both variants stay
+    selectable)."""
+    n2 = LANES
+    rpb = rows // bb
+
+    def kernel(consts_r, x_r,
+               fma_r, fba_r, fmb_r, fbb_r,
+               ftw_r, ftwsh_r, ftw32_r, ftw32sh_r, ftk_r,
+               ima_r, iba_r, imb_r, ibb_r,
+               itw_r, itwsh_r, itw32_r, itw32sh_r, itk_r, o_r):
+        li = pl.program_id(0)
+        q = consts_r[li, 0]
+        mu = consts_r[li, 1]
+        s1c = consts_r[li, 2]
+        c32 = consts_r[li, 3]
+        c32_sh = consts_r[li, 4]
+        kc = consts_r[li, 5]
+        cv = (q, mu, s1c, c32, c32_sh, kc)
+        ftws = (ftw_r[0], ftwsh_r[0], ftw32_r[0], ftw32sh_r[0], ftk_r[0])
+        hats = [_fwd_core(x_r[:, c, 0], bb, n1, n2, cv, fma_r[0],
+                          fba_r[0], fmb_r[0], fbb_r[0], ftws)
+                for c in range(4)]
+        a0, a1, b0, b1 = hats
+
+        def red(hi, lo):
+            return _reduce64(hi, lo, q, mu, s1c, c32, c32_sh)
+
+        h0, l0 = _mul32(a0, b0)
+        h1, l1 = _mul32(a0, b1)
+        h2, l2 = _mul32(a1, b0)
+        hs, ls = _addc(h1 + h2, l1, l2)
+        h3, l3 = _mul32(a1, b1)
+        if full:
+            itws = (itw_r[0], itwsh_r[0], itw32_r[0], itw32sh_r[0],
+                    itk_r[0])
+            for c, (hh, ll) in enumerate(((h0, l0), (hs, ls), (h3, l3))):
+                o_r[:, c, 0] = _inv_core(red(hh, ll), bb, n1, n2, cv,
+                                         ima_r[0], iba_r[0], imb_r[0],
+                                         ibb_r[0], itws)
+        else:
+            for c, (hh, ll) in enumerate(((h0, l0), (hs, ls), (h3, l3))):
+                o_r[:, c, 0] = red(hh, ll)
+
+    def imap_x(i, j):
+        return (j, jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
+    def imap_limb(i, j):
+        return (i, jnp.int32(0), jnp.int32(0))
+
+    def imap_consts(i, j):
+        return (jnp.int32(0), jnp.int32(0))
+
+    ncols = NP * LANES
+    in_specs = [
+        pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
+        pl.BlockSpec((bb, 4, 1, n2, n1), imap_x, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, WB * n2, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, WB * n1, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, n1, n2), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5 + [
+        pl.BlockSpec((1, WB * n1, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, WB * n2, ncols), imap_limb,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ncols), imap_limb, memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((1, n2, n1), imap_limb,
+                      memory_space=pltpu.VMEM)] * 5
+    return pl.pallas_call(
+        kernel,
+        grid=(k, rpb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, 3, 1, n2, n1), imap_x,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 3, k, n2, n1), U32),
+        interpret=interpret,
+    )
+
+
 _INTERPRET = None
 
 
@@ -824,6 +1025,79 @@ class PallasMatmulNttPlan:
         out = self._inv_ks_impl(
             d_hat.reshape(rows, kdig, k, self.n),
             k0.astype(self.word), k1.astype(self.word))
+        return out.reshape(*lead, 2, k, self.n)
+
+    @functools.partial(jax.jit, static_argnames=("self", "full"))
+    def _fwd_tensor3_impl(self, x, full: bool):
+        rows = x.shape[0]
+        k = len(self.moduli)
+        n1, n2 = self.n1, self.n2
+        f = _make_fwd_tensor3(self.n, k, rows, self._fbb(rows), n1,
+                              _interpret(), full)
+        z = f(jnp.asarray(self.consts),
+              x.reshape(rows, 4, k, n2, n1),
+              *(jnp.asarray(t) for t in self.s1_m),
+              *(jnp.asarray(t) for t in self.s2_m),
+              *map(jnp.asarray, self.tw_f),
+              *(jnp.asarray(t) for t in self.iA_m),
+              *(jnp.asarray(t) for t in self.iB_m),
+              *map(jnp.asarray, self.tw_i))
+        return z.reshape(rows, 3, k, self.n)
+
+    def fwd_tensor3(self, ext, full: bool = False):
+        """ext [..., 4, k, N] coefficient-domain extended operand pair
+        (a0, a1, b0, b1, values < q per limb) -> [..., 3, k, N] BFV
+        tensor: NTT domain when full=False, coefficient domain (the
+        three inverse transforms fused in too) when full=True. The
+        operands' forward NTT image never exists in HBM."""
+        ext = ext.astype(self.word)
+        lead = ext.shape[:-3]
+        rows = 1
+        for d in lead:
+            rows *= d
+        k = len(self.moduli)
+        out = self._fwd_tensor3_impl(
+            ext.reshape(rows, 4, k, self.n), full)
+        return out.reshape(*lead, 3, k, self.n)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _ks_full_impl(self, d, k0, k1):
+        rows, kdig, n = d.shape
+        k = len(self.moduli)
+        n1, n2 = self.n1, self.n2
+        f = _make_ks_full(self.n, k, kdig, rows, self._fbb(rows), n1,
+                          _interpret())
+        z = f(jnp.asarray(self.consts),
+              d.reshape(rows, kdig, n2, n1),
+              k0.reshape(kdig, k, n2, n1),
+              k1.reshape(kdig, k, n2, n1),
+              *(jnp.asarray(t) for t in self.s1_m),
+              *(jnp.asarray(t) for t in self.s2_m),
+              *map(jnp.asarray, self.tw_f),
+              *(jnp.asarray(t) for t in self.iA_m),
+              *(jnp.asarray(t) for t in self.iB_m),
+              *map(jnp.asarray, self.tw_i))
+        return z.reshape(rows, 2, k, n)
+
+    def ks_full(self, d, k0, k1):
+        """Whole keyswitch core in ONE kernel: raw u32 digits d
+        [..., kdig, N] (coefficient domain, ANY u32 values — e.g. the
+        q-limb rows of the poly being switched) and NTT-domain keys
+        k0/k1 [kdig, k, N] -> [..., 2, k, N] coefficient-domain inner
+        products sum_i NTT^-1(NTT(d_i) * key_i mod q). Neither the
+        broadcast digit stack nor its NTT image ever exists in HBM
+        (vs fwd_broadcast + inv_ks: saves 2 x rows*kdig*k*N*4 bytes of
+        traffic per call)."""
+        d = d.astype(self.word)
+        lead = d.shape[:-2]
+        kdig = d.shape[-2]
+        rows = 1
+        for dd in lead:
+            rows *= dd
+        k = len(self.moduli)
+        out = self._ks_full_impl(d.reshape(rows, kdig, self.n),
+                                 k0.astype(self.word),
+                                 k1.astype(self.word))
         return out.reshape(*lead, 2, k, self.n)
 
     # -- pointwise -----------------------------------------------------------

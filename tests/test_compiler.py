@@ -187,6 +187,39 @@ def test_param_search_smoke():
     assert predicted_budget(compile_program(prog), params) >= 20
 
 
+def test_measured_search_default_on(monkeypatch):
+    """Round-5 reference parity: with no explicit opt-out the search
+    confirms parameters with the MeasuredModel (the reference runs its
+    measured model unconditionally, params.rs:199-226). conftest sets
+    SUNSCREEN_TPU_MEASURED_SEARCH=0 for suite time — clear it here."""
+    monkeypatch.delenv("SUNSCREEN_TPU_MEASURED_SEARCH", raising=False)
+    assert Compiler()._measured_model
+    monkeypatch.setenv("SUNSCREEN_TPU_MEASURED_SEARCH", "0")
+    assert not Compiler()._measured_model
+    # opt-out API still works against the on-default
+    monkeypatch.delenv("SUNSCREEN_TPU_MEASURED_SEARCH", raising=False)
+    assert not Compiler().use_measured_noise_model(
+        False)._measured_model
+
+
+def test_measured_search_end_to_end():
+    """The measured-confirm search returns params the measured model
+    itself accepts (and that run correctly end-to-end)."""
+    c = (Compiler().fhe_program(simple_multiply)
+         .use_measured_noise_model(True))
+    params = c._search_params()
+    assert params.poly_degree >= 4096
+    from sunscreen_tpu.compiler.noise import MeasuredModel
+    from sunscreen_tpu.compiler.compiler import CompiledFheProgram
+    from sunscreen_tpu.compiler.passes import compile_program
+    prog, sig, lits = simple_multiply.build(params)
+    compiled = CompiledFheProgram(simple_multiply.name,
+                                  compile_program(prog), sig, lits,
+                                  params)
+    assert MeasuredModel(compiled, params).worst_budget \
+        >= c._noise_margin
+
+
 def test_signature_validation(rt_keys):
     rt, pub, priv = rt_keys
     app = compile_with_params(simple_multiply)

@@ -127,3 +127,56 @@ def test_inv_ks_matches_inner_then_inv():
     want = np.asarray(plan.inv(prns.FusedKsInner(mods)(dj, k0j, k1j)))
     got = np.asarray(plan.inv_ks(dj, k0j, k1j))
     np.testing.assert_array_equal(got, want)
+
+
+def test_ks_full_matches_broadcast_then_inv_ks():
+    """The round-5 keyswitch megakernel (raw digits -> fwd -> contract
+    -> inv in one Pallas call) == fwd_broadcast followed by inv_ks,
+    bit-exactly — including digit values ABOVE every modulus (the
+    raw-digit exactness envelope covers any u32)."""
+    n = 256
+    mods, plan, _ = _plans(n, k=3)
+    rng = np.random.default_rng(13)
+    kdig = 3
+    rows = 2
+    k = len(mods)
+    # raw digits: full-range u32 (NOT reduced mod any q)
+    d = rng.integers(0, 1 << 32, (rows, kdig, n), dtype=np.uint32)
+    k0 = np.empty((kdig, k, n), np.uint32)
+    k1 = np.empty((kdig, k, n), np.uint32)
+    for j, q in enumerate(mods):
+        k0[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+        k1[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+    dj = jnp.asarray(d)
+    k0j, k1j = jnp.asarray(k0), jnp.asarray(k1)
+    want = np.asarray(plan.inv_ks(plan.fwd_broadcast(dj), k0j, k1j))
+    got = np.asarray(plan.ks_full(dj, k0j, k1j))
+    np.testing.assert_array_equal(got, want)
+    # leading-batch-axis reshape path
+    got1 = np.asarray(plan.ks_full(dj[0], k0j, k1j))
+    np.testing.assert_array_equal(got1, want[0])
+
+
+def test_fwd_tensor3_matches_fwd_then_pointwise():
+    """The round-5 tensor megakernel (4 forward transforms + component
+    convolution [+ 3 inverse transforms when full]) == plan.fwd
+    followed by FusedTensor3 [followed by plan.inv], bit-exactly."""
+    from sunscreen_tpu.math import prns
+    n = 256
+    mods, plan, _ = _plans(n, k=3)
+    rng = np.random.default_rng(17)
+    k = len(mods)
+    for rows in (1, 2):
+        ext = np.empty((rows, 4, k, n), np.uint32)
+        for j, q in enumerate(mods):
+            ext[..., j, :] = rng.integers(0, q, (rows, 4, n),
+                                          dtype=np.uint32)
+        xj = jnp.asarray(ext)
+        both = plan.fwd(xj)
+        want_hat = np.asarray(prns.FusedTensor3(mods)(
+            both[:, :2], both[:, 2:]))
+        got_hat = np.asarray(plan.fwd_tensor3(xj, full=False))
+        np.testing.assert_array_equal(got_hat, want_hat)
+        want_full = np.asarray(plan.inv(jnp.asarray(want_hat)))
+        got_full = np.asarray(plan.fwd_tensor3(xj, full=True))
+        np.testing.assert_array_equal(got_full, want_full)

@@ -118,6 +118,32 @@ def main():
         got = np.asarray(jax.jit(plan_k.inv_ks)(d_t, k0_t, k1_t))
         check("inv_ks vs inner+inv", np.array_equal(got, want))
 
+        # round-5 tensor megakernel (both variants) vs fwd + pointwise
+        ext_t = jnp.asarray(rng.integers(0, 1 << 28, (2, 4, km, ctx.n)),
+                            jnp.uint32)
+        bh = jax.jit(plan_m.fwd)(ext_t)
+        want_hat = np.asarray(jax.jit(
+            lambda u, v: ten(u, v))(bh[:, :2], bh[:, 2:]))
+        got_hat = np.asarray(jax.jit(
+            lambda x: plan_m.fwd_tensor3(x, full=False))(ext_t))
+        check("fwd_tensor3 vs fwd+pointwise",
+              np.array_equal(got_hat, want_hat))
+        want_full = np.asarray(jax.jit(plan_m.inv)(jnp.asarray(want_hat)))
+        got_full = np.asarray(jax.jit(
+            lambda x: plan_m.fwd_tensor3(x, full=True))(ext_t))
+        check("fwd_tensor3 full vs fwd+pointwise+inv",
+              np.array_equal(got_full, want_full))
+
+        # round-5 keyswitch megakernel vs the two-kernel composition,
+        # with FULL-RANGE u32 raw digits (the exactness envelope)
+        d_raw = jnp.asarray(
+            rng.integers(0, 1 << 32, (2, ctx.k, ctx.n), dtype=np.uint64)
+            .astype(np.uint32))
+        want = np.asarray(jax.jit(lambda d, u, v: plan_k.inv_ks(
+            plan_k.fwd_broadcast(d), u, v))(d_raw, k0_t, k1_t))
+        got = np.asarray(jax.jit(plan_k.ks_full)(d_raw, k0_t, k1_t))
+        check("ks_full vs fwd_broadcast+inv_ks", np.array_equal(got, want))
+
         x_t = jnp.asarray(
             rng.integers(0, 1 << 28, (2, ctx.mul_base.k, ctx.n)),
             jnp.uint32) % jnp.asarray(
