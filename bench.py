@@ -28,7 +28,9 @@ import jax.numpy as jnp
 BASELINE_OPS_PER_S = 250.0
 N = 8192
 LIMBS = 3          # the metric's u64-equivalent parameter point
-BATCH = int(os.environ.get("SUNSCREEN_TPU_BENCH_BATCH", "32"))
+# batch 64 measured fastest round 5 (r5_ab: b64 4391 vs b32 4074 in
+# the ft3-only config; b128 overruns the remote compile helper)
+BATCH = int(os.environ.get("SUNSCREEN_TPU_BENCH_BATCH", "64"))
 WORD = os.environ.get("SUNSCREEN_TPU_BENCH_WORD", "u32")
 
 

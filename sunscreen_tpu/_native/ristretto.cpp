@@ -528,6 +528,35 @@ static void ge_scalarmul_naf(ge &r, const ge table[8], const int8_t *naf,
   }
 }
 
+// r = sum_k c_k * P_k for up to 4 terms whose NAFs the caller
+// precomputed: ONE shared Straus doubling chain instead of one per
+// term. Bases must be non-identity and lens nonzero (caller filters).
+static void ge_joint_scalarmul(ge &r, const ge *const bases[],
+                               const int8_t *const nafs[],
+                               const int lens[], int k) {
+  ge tables[4][8];
+  int maxlen = 0;
+  for (int t = 0; t < k; t++) {
+    ge_naf_table(tables[t], *bases[t]);
+    if (lens[t] > maxlen) maxlen = lens[t];
+  }
+  ge_identity(r);
+  for (int i = maxlen - 1; i >= 0; i--) {
+    ge_double(r, r);
+    for (int t = 0; t < k; t++) {
+      if (i >= lens[t]) continue;
+      int d = nafs[t][i];
+      if (d > 0) {
+        ge_add(r, r, tables[t][d >> 1]);
+      } else if (d < 0) {
+        ge neg;
+        ge_neg(neg, tables[t][(-d) >> 1]);
+        ge_add(r, r, neg);
+      }
+    }
+  }
+}
+
 // scalar mult (variable time, wNAF w=5: ~253 doubles + ~42 adds + 8
 // precomputed odd multiples)
 static void ge_scalarmul(ge &r, const ge &p, const uint8_t *scalar) {
@@ -1091,12 +1120,201 @@ void keccak_f1600_batch(uint8_t *states, long n) {
   for (long i = 0; i < n; i++) keccak_f1600(states + 200 * i);
 }
 
+// --- deferred-materialization generator chains (round 5) -------------------
+//
+// The prover's generator folds are its dominant curve cost: folding m
+// points costs m wNAF scalar multiplications (~253 doublings each) per
+// round, and the g chain additionally paid an up-front l-point pass
+// materializing g' = phi^-1 o g (linear_relation.create). Generators
+// only need to EXIST as points where a value depending on them is
+// emitted — the round cross terms t_-1/t_+1 (MSMs, which can run over
+// the unfolded points with challenge-adjusted scalars at Pippenger
+// cost, ~1/9 of a scalarmul per point) and the final opening's
+// g[0]/h[0]. So each chain defers: fold challenges accumulate
+// symbolically for two rounds (virtual depth dv.t in {0, 1}), cross
+// terms expand over the materialized points, and every second round
+// the chain re-materializes with ONE joint Straus walk per output
+// combining both pending challenges — and, the first time, the
+// per-point phi^-1 coefficients, which therefore never get their own
+// scalar-multiplication pass. Emitted group elements are identical to
+// the eager-fold schedule (ristretto compression canonicalizes), so
+// proofs stay byte-for-byte the same.
+
+struct defvec {
+  ge *pts;   // materialized points (logical length m)
+  sc *coef;  // pending per-point Montgomery coefficients, or null (=1)
+  long m;    // materialized count
+  int t;     // rounds deferred since materialization (0 or 1)
+  sc ce;     // pending even-round fold scalar (Montgomery), when t==1
+};
+
+static inline bool sc_is_zero(const sc &a) {
+  return !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+}
+
+static inline long emit_term(uint8_t *msm_sc, const ge **msm_pt,
+                             long pos, const sc &k_m, const ge &pt) {
+  if (sc_is_zero(k_m) || ge_is_identity_fast(pt)) return pos;
+  sc k;
+  sc_from_mont(k, k_m);
+  sc_tobytes(msm_sc + 32 * pos, k);
+  msm_pt[pos] = &pt;
+  return pos + 1;
+}
+
+// Append the expansion of sum_{i<cnt} v[voff+i] * Virt_{goff+i} over
+// dv's materialized points (v entries Montgomery). Virtual generators:
+// t=0: Virt_j = coef_j P_j;  t=1: Virt_j = coef_j P_j +
+// ce * coef_{j+m/2} P_{j+m/2}.
+static long expand_range(const defvec &dv, const sc *v, long voff,
+                         long goff, long cnt, uint8_t *msm_sc,
+                         const ge **msm_pt, long pos) {
+  long m2 = dv.m / 2;
+  for (long i = 0; i < cnt; i++) {
+    const sc &vm = v[voff + i];
+    if (sc_is_zero(vm)) continue;
+    long j = goff + i;
+    sc k = vm;
+    if (dv.coef) sc_montmul(k, k, dv.coef[j]);
+    pos = emit_term(msm_sc, msm_pt, pos, k, dv.pts[j]);
+    if (dv.t == 1) {
+      sc k2;
+      sc_montmul(k2, vm, dv.ce);
+      if (dv.coef) sc_montmul(k2, k2, dv.coef[j + m2]);
+      pos = emit_term(msm_sc, msm_pt, pos, k2, dv.pts[j + m2]);
+    }
+  }
+  return pos;
+}
+
+// Re-materialize dv after its deferred rounds. co_m = the fold scalar
+// of the just-finished odd round (null when flushing a single pending
+// even round at loop end). depth 2: newP_j = K0 P_j + K1 P_{j+q} +
+// K2 P_{j+2q} + K3 P_{j+3q} with (K0..K3) = (1, co, ce, ce*co) times
+// the pending coefs; depth 1: newP_j = K0 P_j + K2 P_{j+q} with
+// (K0, K2) = (1, ce) times coefs. In-place safe: output j only reads
+// indices >= j and only output j reads index j.
+static void materialize(defvec &dv, const sc *co_m) {
+  int depth = dv.t + (co_m ? 1 : 0);
+  if (depth == 0) {
+    if (!dv.coef) return;
+    // no pending rounds but unabsorbed coefficients (n==1 proofs):
+    // scale the points in place
+    ge *pts = dv.pts;
+    const sc *coef = dv.coef;
+    parallel_for(dv.m, 16, [&](long lo, long hi) {
+      for (long j = lo; j < hi; j++) {
+        if (ge_is_identity_fast(pts[j])) continue;
+        sc k;
+        sc_from_mont(k, coef[j]);
+        uint8_t kb[32];
+        sc_tobytes(kb, k);
+        ge r;
+        ge_scalarmul(r, pts[j], kb);
+        pts[j] = r;
+      }
+    });
+    delete[] dv.coef;
+    dv.coef = nullptr;
+    return;
+  }
+  long q = dv.m >> depth;
+  int nterms = 1 << depth;
+  sc ks_m[4];  // shared scalar per offset slot (Montgomery)
+  {
+    sc one;
+    memset(&one, 0, sizeof(one));
+    one.v[0] = 1;
+    sc one_m;
+    sc_to_mont(one_m, one);
+    if (depth == 2) {
+      ks_m[0] = one_m;
+      ks_m[1] = *co_m;
+      ks_m[2] = dv.ce;
+      sc_montmul(ks_m[3], dv.ce, *co_m);
+    } else {
+      ks_m[0] = one_m;
+      ks_m[1] = dv.ce;
+    }
+  }
+  // shared-NAF fast path (no pending coefs): recode each K once
+  int8_t snaf[4][260];
+  int slen[4] = {0, 0, 0, 0};
+  if (!dv.coef) {
+    for (int s = 1; s < nterms; s++) {
+      sc k;
+      sc_from_mont(k, ks_m[s]);
+      uint8_t kb[32];
+      sc_tobytes(kb, k);
+      slen[s] = scalar_to_naf5(snaf[s], kb);
+    }
+  }
+  ge *pts = dv.pts;
+  const sc *coef = dv.coef;
+  parallel_for(q, 16, [&](long lo, long hi) {
+    for (long j = lo; j < hi; j++) {
+      const ge *bases[4];
+      const int8_t *nafs[4];
+      int lens[4];
+      int8_t pnaf[4][260];
+      int k = 0;
+      ge unit;
+      bool have_unit = false;
+      for (int s = 0; s < nterms; s++) {
+        const ge &p = pts[j + s * q];
+        if (ge_is_identity_fast(p)) continue;
+        if (!coef && s == 0) {  // unit scalar: plain add at the end
+          unit = p;
+          have_unit = true;
+          continue;
+        }
+        sc km = ks_m[s];
+        if (coef) sc_montmul(km, km, coef[j + s * q]);
+        if (!coef) {
+          nafs[k] = snaf[s];
+          lens[k] = slen[s];
+        } else {
+          sc kn;
+          sc_from_mont(kn, km);
+          uint8_t kb[32];
+          sc_tobytes(kb, kn);
+          lens[k] = scalar_to_naf5(pnaf[k], kb);
+          nafs[k] = pnaf[k];
+        }
+        if (lens[k] == 0) continue;  // scalar 0
+        bases[k] = &p;
+        k++;
+      }
+      ge r;
+      if (k > 0) {
+        ge_joint_scalarmul(r, bases, nafs, lens, k);
+        if (have_unit) ge_add(r, r, unit);
+      } else if (have_unit) {
+        r = unit;
+      } else {
+        ge_identity(r);
+      }
+      pts[j] = r;
+    }
+  });
+  dv.m = q;
+  dv.t = 0;
+  if (dv.coef) {
+    delete[] dv.coef;
+    dv.coef = nullptr;
+  }
+}
+
 // Full ZK inner-product prover loop (logproof/inner_product.py create,
 // everything after the dom-sep/a_pt draw). Runs the log-rounds of
 // cross-term MSMs, transcript appends/challenges, generator and
 // vector folding, and the final Schnorr-style opening natively, so no
 // per-round python marshalling happens. The strobe state is bridged
 // in/out so the surrounding python Transcript continues seamlessly.
+//
+// g_coeff_b (nullable, n*32): per-point scalars folded into the g
+// bases virtually (the SDLP's g' = phi^-1 o g) — absorbed by the
+// deferred chains above, never materialized as a standalone pass.
 //
 // rand layout: per round [sigma, sigma_m1], then [y1, y2, sig, sig_p]
 // — exactly the draw order of the python fallback, so with injected
@@ -1110,11 +1328,13 @@ void ristretto_ipp_prove(
     const uint8_t *rho_b,                         // 32
     const uint8_t *rand_b,                        // (2*lg+4)*32
     long n,                                       // power of two
-    long n_real,  // entries >= n_real are identity/zero padding: their
-                  // first-round folds are skipped (g = gt unchanged)
+    long n_real,  // entries >= n_real are identity/zero padding
+                  // (skipped via zero-scalar / identity checks)
+    const uint8_t *g_coeff_b,                     // nullable, n*32
     uint8_t *t1_out, uint8_t *tm1_out,            // lg*128
     uint8_t *w_out, uint8_t *wp_out,              // 128 each
     uint8_t *z1_out, uint8_t *z2_out, uint8_t *tau_out) {  // 32 each
+  (void)n_real;
   ge_init_constants();
   compress_init_constants();
   sc_init();
@@ -1125,6 +1345,16 @@ void ristretto_ipp_prove(
   for (long i = 0; i < n; i++) {
     ge_frombytes(g[i], g_in + 128 * i);
     ge_frombytes(h[i], h_in + 128 * i);
+  }
+  defvec G = {g, nullptr, n, 0, {{0, 0, 0, 0}}};
+  defvec H = {h, nullptr, n, 0, {{0, 0, 0, 0}}};
+  if (g_coeff_b) {
+    G.coef = new sc[n];
+    for (long i = 0; i < n; i++) {
+      sc t;
+      sc_frombytes(t, g_coeff_b + 32 * i);
+      sc_to_mont(G.coef[i], t);
+    }
   }
   ge a_pt, u_pt;
   ge_frombytes(a_pt, a_pt_b);
@@ -1145,9 +1375,10 @@ void ristretto_ipp_prove(
     sc_to_mont(rho, t);
   }
 
-  // scratch for the round MSMs: up to n+2 scalars/points
-  uint8_t *msm_sc = new uint8_t[(size_t)(n + 2) * 32];
-  const ge **msm_pt = new const ge *[n + 2];
+  // scratch for the round MSMs: a deferred-round expansion can touch
+  // both halves of each materialized chain, so up to 2n+2 terms
+  uint8_t *msm_sc = new uint8_t[(size_t)(2 * n + 2) * 32];
+  const ge **msm_pt = new const ge *[2 * n + 2];
   int round = 0;
   long cur = n;
   while (cur > 1) {
@@ -1170,41 +1401,30 @@ void ristretto_ipp_prove(
       sc_montmul(prod, v1[i], v2[n2 + i]);
       sc_add(x_p1_m, x_p1_m, prod);
     }
-    // t_m1 = <v1b, gt> + <v2t, hb> + x_m1*a + sigma_m1*u
     sc tmp;
-    for (long i = 0; i < n2; i++) {
-      sc_from_mont(tmp, v1[n2 + i]);
-      sc_tobytes(msm_sc + 32 * i, tmp);
-      msm_pt[i] = &g[i];
-      sc_from_mont(tmp, v2[i]);
-      sc_tobytes(msm_sc + 32 * (n2 + i), tmp);
-      msm_pt[n2 + i] = &h[n2 + i];
-    }
+    // t_m1 = <v1b, gt> + <v2t, hb> + x_m1*a + sigma_m1*u
+    // (virtual generators expanded over the materialized chains)
+    long pos = expand_range(G, v1, n2, 0, n2, msm_sc, msm_pt, 0);
+    pos = expand_range(H, v2, 0, n2, n2, msm_sc, msm_pt, pos);
     sc_from_mont(tmp, x_m1_m);
-    sc_tobytes(msm_sc + 32 * (2 * n2), tmp);
-    msm_pt[2 * n2] = &a_pt;
+    sc_tobytes(msm_sc + 32 * pos, tmp);
+    msm_pt[pos++] = &a_pt;
     sc_frombytes(tmp, rand_b + 64 * round + 32);  // sigma_m1 (normal)
-    sc_tobytes(msm_sc + 32 * (2 * n2 + 1), tmp);
-    msm_pt[2 * n2 + 1] = &u_pt;
+    sc_tobytes(msm_sc + 32 * pos, tmp);
+    msm_pt[pos++] = &u_pt;
     ge t_m1;
-    msm_core(msm_sc, msm_pt, 2 * n2 + 2, t_m1);
+    msm_core(msm_sc, msm_pt, pos, t_m1);
     // t_p1 = <v1t, gb> + <v2b, ht> + x_p1*a + sigma*u
-    for (long i = 0; i < n2; i++) {
-      sc_from_mont(tmp, v1[i]);
-      sc_tobytes(msm_sc + 32 * i, tmp);
-      msm_pt[i] = &g[n2 + i];
-      sc_from_mont(tmp, v2[n2 + i]);
-      sc_tobytes(msm_sc + 32 * (n2 + i), tmp);
-      msm_pt[n2 + i] = &h[i];
-    }
+    pos = expand_range(G, v1, 0, n2, n2, msm_sc, msm_pt, 0);
+    pos = expand_range(H, v2, n2, 0, n2, msm_sc, msm_pt, pos);
     sc_from_mont(tmp, x_p1_m);
-    sc_tobytes(msm_sc + 32 * (2 * n2), tmp);
-    msm_pt[2 * n2] = &a_pt;
+    sc_tobytes(msm_sc + 32 * pos, tmp);
+    msm_pt[pos++] = &a_pt;
     sc_frombytes(tmp, rand_b + 64 * round);       // sigma (normal)
-    sc_tobytes(msm_sc + 32 * (2 * n2 + 1), tmp);
-    msm_pt[2 * n2 + 1] = &u_pt;
+    sc_tobytes(msm_sc + 32 * pos, tmp);
+    msm_pt[pos++] = &u_pt;
     ge t_p1;
-    msm_core(msm_sc, msm_pt, 2 * n2 + 2, t_p1);
+    msm_core(msm_sc, msm_pt, pos, t_p1);
 
     ge_tobytes(tm1_out + 128 * round, t_m1);
     ge_tobytes(t1_out + 128 * round, t_p1);
@@ -1216,38 +1436,21 @@ void ristretto_ipp_prove(
     tr_append(tr, (const uint8_t *)"t1", 2, comp, 32);
     sc c;
     tr_challenge_scalar(tr, (const uint8_t *)"c", 1, c);
-    sc c_m, c_inv_m, c_inv;
+    sc c_m, c_inv_m;
     sc_to_mont(c_m, c);
     sc_inv_mont(c_inv_m, c_m);
-    sc_from_mont(c_inv, c_inv_m);
-    uint8_t c_bytes[32], c_inv_bytes[32];
-    sc_tobytes(c_bytes, c);
-    sc_tobytes(c_inv_bytes, c_inv);
-    // fold generators: g = gt + c*gb, h = ht + c_inv*hb
-    int8_t naf_c[260], naf_ci[260];
-    int len_c = scalar_to_naf5(naf_c, c_bytes);
-    int len_ci = scalar_to_naf5(naf_ci, c_inv_bytes);
-    // entries whose bottom half is identity padding fold to
-    // themselves — with l just over a power of two this skips almost
-    // the whole first round
-    long fold_n = n2;
-    if (n_real < cur && n_real - n2 < n2) fold_n = n_real - n2;
-    if (fold_n < 0) fold_n = 0;
-    parallel_for(fold_n, 64, [&](long lo, long hi) {
-      for (long i = lo; i < hi; i++) {
-        ge table[8], r;
-        if (!ge_is_identity_fast(g[n2 + i])) {
-          ge_naf_table(table, g[n2 + i]);
-          ge_scalarmul_naf(r, table, naf_c, len_c);
-          ge_add(g[i], g[i], r);
-        }
-        if (!ge_is_identity_fast(h[n2 + i])) {
-          ge_naf_table(table, h[n2 + i]);
-          ge_scalarmul_naf(r, table, naf_ci, len_ci);
-          ge_add(h[i], h[i], r);
-        }
-      }
-    });
+    // generator folds g = gt + c*gb, h = ht + c_inv*hb are DEFERRED:
+    // stash the even round's fold scalars; after an odd round flush
+    // both pending rounds with one joint Straus walk per output
+    if (G.t == 0) {
+      G.ce = c_m;
+      G.t = 1;
+      H.ce = c_inv_m;
+      H.t = 1;
+    } else {
+      materialize(G, &c_m);
+      materialize(H, &c_inv_m);
+    }
     // fold vectors: v1 = v1t + c_inv*v1b, v2 = v2t + c*v2b
     for (long i = 0; i < n2; i++) {
       sc_montmul(prod, v1[n2 + i], c_inv_m);
@@ -1263,6 +1466,10 @@ void ristretto_ipp_prove(
     cur = n2;
     round++;
   }
+  // flush a pending even round (odd total round count) and any
+  // still-unabsorbed g coefficients so g[0]/h[0] are real points
+  materialize(G, nullptr);
+  materialize(H, nullptr);
 
   // final Schnorr-style ZK opening
   const uint8_t *y1_b = rand_b + 64 * round;

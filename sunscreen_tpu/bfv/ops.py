@@ -396,11 +396,16 @@ def keyswitch(ctx: BfvContext, d, ksw: KswKey):
     # digits [..., k, N] -> ext [..., k(digit), kk(limb), N]
     if (getattr(ctx.plan_key, "mode", "") == "pallas"
             and _plan_fused(ctx, ctx.plan_key)
-            and _env_on("SUNSCREEN_TPU_FUSE_KSFULL")):
-        # round-5 megakernel: digit forward transforms + contraction +
+            and _env_on("SUNSCREEN_TPU_FUSE_KSFULL", default="0")):
+        # OPT-IN megakernel: digit forward transforms + contraction +
         # inverse transform in ONE Pallas call — the [.., k, kk, N]
-        # NTT-domain digit stack never exists in HBM (~117 MB/step
-        # saved at the bench point; see pmntt._make_ks_full)
+        # NTT-domain digit stack never exists in HBM. Measured round 5
+        # (r5_ab, real chip): consistently ~4% SLOWER than the
+        # two-kernel path at b32/b64 — the pipeline is NOT HBM-bound
+        # (hbm_probe: transforms run at ~17 GB/s vs the chip's
+        # ~170 GB/s streaming), so the longer kernel body only costs
+        # pipelining. Kept selectable + selfchecked for future
+        # toolchains.
         both = ctx.plan_key.ks_full(d, ksw.k0, ksw.k1)
     else:
         if getattr(ctx.plan_key, "mode", "") == "pallas":

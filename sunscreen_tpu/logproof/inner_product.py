@@ -93,13 +93,17 @@ def _pad_pow2(v, fill):
 
 def create(transcript: Transcript, v_1, v_2, rho: int, t_commit: cv.Point,
            g, h, u: cv.Point, rand_fn=None,
-           g_buf: bytes | None = None, h_buf: bytes | None = None
-           ) -> InnerProductProof:
+           g_buf: bytes | None = None, h_buf: bytes | None = None,
+           g_coeff=None) -> InnerProductProof:
     """`rand_fn`: optional blinding-scalar source (tests inject a
     deterministic one to pin native-vs-python byte equality).
     `g_buf`/`h_buf`: optional 128B-per-point extended-coordinate
     buffers for g/h (padded to the power of two) — callers with cached
-    generator buffers may pass g=None/h=None and skip marshalling."""
+    generator buffers may pass g=None/h=None and skip marshalling.
+    `g_coeff` (optional, one scalar per real g point): the prover's g
+    bases become g_coeff o g VIRTUALLY — the native deferred chains
+    absorb the coefficients into their first re-materialization, so
+    the SDLP's g' = phi^-1 o g never costs its own l-point pass."""
     from sunscreen_tpu.zk import native
     assert len(v_1) == len(v_2)
     if g is not None:
@@ -110,6 +114,8 @@ def create(transcript: Transcript, v_1, v_2, rho: int, t_commit: cv.Point,
     v_1 = _pad_pow2([a % L for a in v_1], 0)
     v_2 = _pad_pow2([a % L for a in v_2], 0)
     n = len(v_1)
+    if g_coeff is not None:
+        g_coeff = _pad_pow2([int(c) % L for c in g_coeff], 1)
 
     _domain_sep(transcript, t_commit, x)
     a_pt = transcript.challenge_bytes(b"a", 64)
@@ -124,7 +130,7 @@ def create(transcript: Transcript, v_1, v_2, rho: int, t_commit: cv.Point,
             h_buf = native._points_to_buf(_pad_pow2(list(h), cv.IDENTITY))
         res = native.ipp_prove(transcript.strobe, v_1, v_2, g_buf,
                                h_buf, a_pt, u, rho, rand_scalars, n,
-                               n_real=n_real)
+                               n_real=n_real, g_coeff=g_coeff)
         if res is not None:
             t1_vec, tm1_vec, w, w_prime, z_1, z_2, tau = res
             return InnerProductProof(t1_vec, tm1_vec, w, w_prime,
@@ -133,6 +139,9 @@ def create(transcript: Transcript, v_1, v_2, rho: int, t_commit: cv.Point,
     if g is None:
         g = native._buf_to_points(g_buf, n)
         h = native._buf_to_points(h_buf, n)
+    if g_coeff is not None:
+        # python oracle path: materialize the coefficient-scaled bases
+        g = [gp * c for gp, c in zip(list(g), g_coeff[:len(g)])]
     g = _pad_pow2(list(g), cv.IDENTITY)
     h = _pad_pow2(list(h), cv.IDENTITY)
 

@@ -474,13 +474,18 @@ def create(transcript: Transcript, pk: ProverKnowledge, g, h, u,
     phi_inv = cv.batch_scalar_inv(phi)
     v_plus_phi = [(vi + psi * pi) % L for vi, pi in zip(v, phi)]
     if use_bufs:
-        g_prime_buf = native.batch_scalar_mul_buf(phi_inv, gens.g_buf, l)
+        # g' = phi^-1 o g is never materialized (round 5): t_1 folds
+        # phi^-1 into the MSM scalars (the verifier's trick), and the
+        # IPP prover absorbs it via g_coeff into its deferred
+        # generator chains — saving an l-point scalar-multiplication
+        # pass per proof
         g_prime = None
-        t_1 = native.msm_buf(v_plus_phi, g_prime_buf, l)
+        t_1 = native.msm_buf(
+            [vp * pi % L for vp, pi in zip(v_plus_phi, phi_inv)],
+            gens.g_buf, l)
         t_commit = w + t_1 + gens.h_sum * psi
     else:
         g_prime = cv.batch_mul(phi_inv, g)
-        g_prime_buf = None
         t_commit = _compute_t(w, g_prime, h, phi, psi, v)
     v_1 = [(v[i] + phi[i] * s_2[i] + psi * phi[i]) % L
            for i in range(l)]
@@ -494,8 +499,9 @@ def create(transcript: Transcript, pk: ProverKnowledge, g, h, u,
     if use_bufs:
         proof = ipp.create(transcript, v_1, v_2, rho, t_commit, None,
                            None, u,
-                           g_buf=_pad_buf_pow2(g_prime_buf, l),
-                           h_buf=_pad_buf_pow2(gens.h_buf, l))
+                           g_buf=_pad_buf_pow2(gens.g_buf, l),
+                           h_buf=_pad_buf_pow2(gens.h_buf, l),
+                           g_coeff=phi_inv)
     else:
         proof = ipp.create(transcript, v_1, v_2, rho, t_commit,
                            g_prime, h, u)

@@ -874,8 +874,15 @@ class PallasMatmulNttPlan:
             target_bytes = int(os.environ.get(
                 "SUNSCREEN_TPU_PMNTT_BB_KB", "1024")) << 10
         row_bytes = self.n * 4
-        stack_row_bytes = (self.n1 + self.n2) * NP * LANES * 4
-        vmem_cap = max(1, (12 << 20) // stack_row_bytes)
+        # Measured calibration (round 5, real chip): the INVERSE
+        # transform at N=8192 rows=96 bb=24 OOMs scoped vmem at
+        # 16.45 MB — ~0.69 MB/row, 1.75x the plain 4-byte stack model
+        # (multi-step grids double-buffer the in/out blocks on top of
+        # the i32 partial stacks). Budget 10 MB at 6 B/lane keeps every
+        # observed shape compiling (N=8192 -> bb<=17, which the
+        # divisibility walk lands on 16).
+        stack_row_bytes = (self.n1 + self.n2) * NP * LANES * 6
+        vmem_cap = max(1, (10 << 20) // stack_row_bytes)
         b = max(1, min(rows, target_bytes // row_bytes, vmem_cap))
         while rows % b:
             b -= 1

@@ -249,12 +249,16 @@ def ipp_s_vector(cs, n: int):
 
 
 def ipp_prove(strobe, v1, v2, g_buf: bytes, h_buf: bytes, a_pt, u_pt,
-              rho: int, rand_scalars, n: int, n_real: int | None = None):
+              rho: int, rand_scalars, n: int, n_real: int | None = None,
+              g_coeff=None):
     """Full ZK-IPP prover loop (inner_product.create after the a_pt
     draw) natively. `g_buf`/`h_buf` are 128-byte-per-point extended
     buffers (pass cached generator buffers to skip marshalling).
-    Returns (t1_points, tm1_points, w, w_prime, z1, z2, tau) or None.
-    Mutates `strobe` exactly as the python loop would."""
+    `g_coeff` (optional, n scalars) folds per-point coefficients into
+    the g bases virtually — the SDLP's g' = phi^-1 o g without the
+    l-point materialization pass. Returns (t1_points, tm1_points, w,
+    w_prime, z1, z2, tau) or None. Mutates `strobe` exactly as the
+    python loop would."""
     lib = get_lib()
     if lib is None:
         return None
@@ -269,6 +273,10 @@ def ipp_prove(strobe, v1, v2, g_buf: bytes, h_buf: bytes, a_pt, u_pt,
     rhob = (int(rho) % L).to_bytes(32, "little")
     randb = _scalars_to_buf(rand_scalars, L)
     assert len(rand_scalars) == 2 * lg + 4
+    gcb = None
+    if g_coeff is not None:
+        assert len(g_coeff) == n
+        gcb = _scalars_to_buf(g_coeff, L)
     t1 = ctypes.create_string_buffer(128 * max(lg, 1))
     tm1 = ctypes.create_string_buffer(128 * max(lg, 1))
     w = ctypes.create_string_buffer(128)
@@ -280,7 +288,7 @@ def ipp_prove(strobe, v1, v2, g_buf: bytes, h_buf: bytes, a_pt, u_pt,
                             rhob, randb, ctypes.c_long(n),
                             ctypes.c_long(n_real if n_real is not None
                                           else n),
-                            t1, tm1, w, wp, z1, z2, tau)
+                            gcb, t1, tm1, w, wp, z1, z2, tau)
     _strobe_writeback(strobe, state, meta)
     return (_buf_to_points(t1.raw, lg), _buf_to_points(tm1.raw, lg),
             _buf_to_points(w.raw, 1)[0], _buf_to_points(wp.raw, 1)[0],

@@ -78,6 +78,58 @@ def test_zk_inner_product_native_matches_python_bytes(monkeypatch):
     assert ip.verify(native_proof, Transcript(b"ipnat"), t, x, g, h, u)
 
 
+@pytest.mark.parametrize("n_real,coeff", [
+    (8, False),    # odd lg: the deferred chain's final flush path
+    (16, False),   # even lg
+    (11, False),   # identity padding (11 -> 16)
+    (16, True),    # virtual g' = coeff o g (the SDLP phi^-1 path)
+    (11, True),    # padding + coefficients together
+    (2, True),     # single round: depth-1 materialization with coefs
+    (1, True),     # no rounds: coefficient-only materialization
+])
+def test_zk_ipp_deferred_chain_matches_python(monkeypatch, n_real,
+                                              coeff):
+    """The round-5 deferred-materialization prover (virtual generator
+    chains, g_coeff absorption) stays byte-identical to the pure-python
+    eager-fold prover across round parities, padding, and coefficient
+    configurations — and its proofs verify."""
+    from sunscreen_tpu.zk import native
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    g = [cv.BASEPOINT * (i + 2) for i in range(n_real)]
+    h = [cv.BASEPOINT * (i + 100) for i in range(n_real)]
+    u = ip.get_u()
+    v1 = [int(x) for x in RNG.integers(1, 1 << 30, n_real)]
+    v2 = [int(x) for x in RNG.integers(1, 1 << 30, n_real)]
+    g_coeff = ([(int(x) * 0x9E3779B97F4A7C15E3779B9 + 1) % cv.L
+                for x in RNG.integers(1, 1 << 60, n_real)]
+               if coeff else None)
+    geff = ([gi * c for gi, c in zip(g, g_coeff)] if coeff
+            else list(g))
+    rho = 99
+    x = sum(a * b for a, b in zip(v1, v2)) % cv.L
+    t = cv.msm(v1 + v2 + [rho], geff + h + [u])
+
+    def make_rand():
+        state = [0]
+
+        def rand():
+            state[0] += 1
+            return (state[0] * 0x9E3779B97F4A7C15 + 777) % cv.L
+        return rand
+
+    native_proof = ip.create(Transcript(b"ipd"), v1, v2, rho, t,
+                             g, h, u, rand_fn=make_rand(),
+                             g_coeff=g_coeff)
+    assert ip.verify(native_proof, Transcript(b"ipd"), t, x, g, h, u,
+                     g_coeff=g_coeff)
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    python_proof = ip.create(Transcript(b"ipd"), v1, v2, rho, t,
+                             g, h, u, rand_fn=make_rand(),
+                             g_coeff=g_coeff)
+    assert native_proof.to_bytes() == python_proof.to_bytes()
+
+
 def make_relation(q=12289, d=4, bound_bits=2):
     """1x1 relation: a * s = t in Z_q[X]/(X^d+1)."""
     f = [1] + [0] * (d - 1) + [1]
