@@ -333,6 +333,18 @@ class ZkpRuntime:
             prog, proof, [int(x) for x in public_inputs],
             [int(x) for x in constant_inputs])
 
+    def proof_builder(self, program):
+        """Fluent proving API (reference: `Runtime::proof_builder`,
+        `runtime.rs:728-742`)."""
+        from sunscreen_tpu.runtime.builders import ProofBuilder
+        return ProofBuilder(self, program)
+
+    def verification_builder(self, program):
+        """Fluent verification API (reference:
+        `Runtime::verification_builder`, `runtime.rs:815-833`)."""
+        from sunscreen_tpu.runtime.builders import VerificationBuilder
+        return VerificationBuilder(self, program)
+
 
 class FheZkpRuntime(FheRuntime, ZkpRuntime):
     """Combined runtime (reference: `Runtime::new_fhe_zkp`)."""

@@ -104,3 +104,47 @@ def test_jit_evaluation_semantics():
     assert vals is not None
     with pytest.raises(ZkpError):
         evaluate(prog, 101, [3, 5], [16], [])
+
+
+def test_fluent_proof_and_verification_builders():
+    """ProofBuilder / VerificationBuilder (reference builder.rs:29-200
+    + Runtime::proof_builder/verification_builder): fluent input
+    accumulation, raising verify, and failure on wrong inputs."""
+    import pytest
+
+    from sunscreen_tpu.runtime import Runtime
+    from sunscreen_tpu.runtime.builders import VerificationError
+    from sunscreen_tpu.types.zkp_types import (Constant, Field, Private,
+                                               Public, zkp_program)
+
+    @zkp_program()
+    def affine(x: Private[Field], a: Constant[Field],
+               y: Public[Field]):
+        (x * a).constrain_eq(y)
+
+    rt = Runtime.new_zkp()
+    proof = (rt.proof_builder(affine)
+             .private_input(6)
+             .constant_input(7)
+             .public_input(42)
+             .prove())
+    (rt.verification_builder(affine)
+     .proof(proof)
+     .constant_input(7)
+     .public_input(42)
+     .verify())   # returns None; raises on failure
+    with pytest.raises(VerificationError):
+        (rt.verification_builder(affine)
+         .proof(proof)
+         .constant_input(7)
+         .public_input(41)
+         .verify())
+    with pytest.raises(VerificationError):
+        rt.verification_builder(affine).constant_input(7) \
+            .public_input(42).verify()   # no proof supplied
+    # plural forms
+    proof2 = (rt.proof_builder(affine)
+              .private_inputs([6]).constant_inputs([7])
+              .public_inputs([42]).prove())
+    (rt.verification_builder(affine).proof(proof2)
+     .constant_inputs([7]).public_inputs([42]).verify())
