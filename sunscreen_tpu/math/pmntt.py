@@ -509,7 +509,7 @@ def _make_inv_ks(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
 
 
 def _make_ks_full(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
-                  interpret: bool):
+                  interpret: bool, per_limb: bool = False):
     """The keyswitch MEGAKERNEL: raw u32 digits -> keyswitched
     coefficient-domain components in ONE Pallas call. Per grid instance
     (limb, row-block) it forward-transforms each of the kdig raw digit
@@ -523,7 +523,13 @@ def _make_ks_full(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
     NTT-domain digit stack (`fwd_broadcast` output) never exists, so
     the op costs one broadcast digit read per key limb + the [rows, 2,
     k, N] output write. Raw 64-bit accumulation: kdig * q^2 < 2^64 for
-    kdig <= 16, q < 2^30 (same bound as `_make_inv_ks`)."""
+    kdig <= 16, q < 2^30 (same bound as `_make_inv_ks`).
+
+    per_limb=False: d is ONE raw u32 poly per digit, broadcast-read by
+    every limb (the BFV hybrid-keyswitch shape — exact for any u32).
+    per_limb=True: d carries per-limb residues [rows, kdig, k, n2, n1]
+    (the TFHE signed-digit shape, where a digit's residues differ per
+    modulus)."""
     n2 = LANES
     rpb = rows // bb
 
@@ -547,7 +553,8 @@ def _make_ks_full(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
         a1hi = jnp.zeros((bb, n2, n1), U32)
         a1lo = jnp.zeros((bb, n2, n1), U32)
         for i in range(kdig):
-            y = _fwd_core(d_r[:, i], bb, n1, n2, cv,
+            di = d_r[:, i, 0] if per_limb else d_r[:, i]
+            y = _fwd_core(di, bb, n1, n2, cv,
                           fma_r[0], fba_r[0], fmb_r[0], fbb_r[0], ftws)
             hi, lo = _mul32(y, k0_r[i, 0])
             a0hi, a0lo = _addc(a0hi, a0lo, lo)
@@ -567,6 +574,9 @@ def _make_ks_full(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
         # re-reads the same raw digits (no HBM broadcast materialized)
         return (j, jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
+    def imap_d_limb(i, j):
+        return (j, jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
+
     def imap_key(i, j):
         return (jnp.int32(0), i, jnp.int32(0), jnp.int32(0))
 
@@ -580,9 +590,13 @@ def _make_ks_full(n: int, k: int, kdig: int, rows: int, bb: int, n1: int,
         return (jnp.int32(0), jnp.int32(0))
 
     ncols = NP * LANES
+    d_spec = (pl.BlockSpec((bb, kdig, 1, n2, n1), imap_d_limb,
+                           memory_space=pltpu.VMEM) if per_limb else
+              pl.BlockSpec((bb, kdig, n2, n1), imap_d,
+                           memory_space=pltpu.VMEM))
     in_specs = [
         pl.BlockSpec((k, 8), imap_consts, memory_space=pltpu.SMEM),
-        pl.BlockSpec((bb, kdig, n2, n1), imap_d, memory_space=pltpu.VMEM),
+        d_spec,
         pl.BlockSpec((kdig, 1, n2, n1), imap_key, memory_space=pltpu.VMEM),
         pl.BlockSpec((kdig, 1, n2, n1), imap_key, memory_space=pltpu.VMEM),
         # forward tables (S1: K = 4*n2; S2: K = 4*n1; twiddles [n1, n2])
@@ -1085,6 +1099,43 @@ class PallasMatmulNttPlan:
               *(jnp.asarray(t) for t in self.iB_m),
               *map(jnp.asarray, self.tw_i))
         return z.reshape(rows, 2, k, n)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _ks_full_limbs_impl(self, d, k0, k1):
+        rows, kdig, k, n = d.shape
+        n1, n2 = self.n1, self.n2
+        f = _make_ks_full(self.n, k, kdig, rows, self._fbb(rows), n1,
+                          _interpret(), per_limb=True)
+        z = f(jnp.asarray(self.consts),
+              d.reshape(rows, kdig, k, n2, n1),
+              k0.reshape(kdig, k, n2, n1),
+              k1.reshape(kdig, k, n2, n1),
+              *(jnp.asarray(t) for t in self.s1_m),
+              *(jnp.asarray(t) for t in self.s2_m),
+              *map(jnp.asarray, self.tw_f),
+              *(jnp.asarray(t) for t in self.iA_m),
+              *(jnp.asarray(t) for t in self.iB_m),
+              *map(jnp.asarray, self.tw_i))
+        return z.reshape(rows, 2, k, n)
+
+    def ks_full_limbs(self, d, k0, k1):
+        """Per-limb-residue keyswitch megakernel: d [..., kdig, k, N]
+        coefficient-domain residues (e.g. the TFHE signed-digit RNS
+        images), keys [kdig, k, N] NTT domain -> [..., 2, k, N]
+        coefficient domain, ONE Pallas call (see ks_full; this variant
+        reads each limb's own digit residues instead of broadcasting a
+        single u32 row)."""
+        d = d.astype(self.word)
+        lead = d.shape[:-3]
+        kdig = d.shape[-3]
+        rows = 1
+        for dd in lead:
+            rows *= dd
+        k = len(self.moduli)
+        out = self._ks_full_limbs_impl(
+            d.reshape(rows, kdig, k, self.n),
+            k0.astype(self.word), k1.astype(self.word))
+        return out.reshape(*lead, 2, k, self.n)
 
     def ks_full(self, d, k0, k1):
         """Whole keyswitch core in ONE kernel: raw u32 digits d

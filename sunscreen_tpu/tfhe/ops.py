@@ -405,10 +405,17 @@ def _blind_rotate_ntt(test_poly, lwe_ct, bsk: NttBootstrapKey,
                                         radix.count)     # [l, ..., k+1, N]
         d = jnp.moveaxis(digits, 0, -2)                  # [..., k+1, l, N]
         d = d.reshape(*d.shape[:-3], kdig, n)
-        d_hat = plan.fwd(plan.signed_to_rns(d))          # [..., kdig, kp, N]
         ks = jax.lax.dynamic_index_in_dim(
             bsk.rows, i, 0, keepdims=False)              # [kdig, k+1, kp, N]
-        if kk == 1:
+        import os
+        if kk == 1 and os.environ.get(
+                "SUNSCREEN_TPU_TFHE_KSFULL", "1") != "0":
+            # round-5 megakernel: the step's digit forward transforms,
+            # contraction, and inverse run as ONE Pallas launch
+            # (launch count dominates the small-N step)
+            upd = plan.ks_full(plan.signed_to_rns(d), ks[:, 0], ks[:, 1])
+        elif kk == 1:
+            d_hat = plan.fwd(plan.signed_to_rns(d))      # [..., kdig, kp, N]
             # the fused pmntt keyswitch kernel: digit contraction +
             # inverse transform in one VMEM residency
             upd = plan.contract_inv(d_hat, ks[:, 0], ks[:, 1])
@@ -416,6 +423,7 @@ def _blind_rotate_ntt(test_poly, lwe_ct, bsk: NttBootstrapKey,
             # generic GLWE size: u64 contraction (each product < q^2 <
             # 2^60, kdig <= 16 terms cannot wrap) + plain inverse
             from sunscreen_tpu.math import modular as m
+            d_hat = plan.fwd(plan.signed_to_rns(d))      # [..., kdig, kp, N]
             kp = plan.base.k
             acc64 = jnp.sum(
                 d_hat.astype(U64)[..., :, None, :, :] * ks.astype(U64),

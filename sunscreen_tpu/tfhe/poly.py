@@ -135,6 +135,15 @@ class TorusNttPlanU32:
         k0/k1 [kdig, k, N] -> coefficient-domain [..., 2, k, N]."""
         return self.plan.inv_ks(d_hat, k0, k1)
 
+    def ks_full(self, d_rns, k0, k1):
+        """Whole per-step keyswitch in ONE Pallas call: coefficient-
+        domain digit residues [..., kdig, k, N] -> [..., 2, k, N]
+        (digit forward transforms + contraction + inverse fused).
+        Inside the blind-rotate loop each step then pays ONE kernel
+        launch instead of two — launch count, not MXU work, dominates
+        the small-N step (PERF_NOTES round-5 TFHE note)."""
+        return self.plan.ks_full_limbs(d_rns, k0, k1)
+
     def to_torus(self, x_rns):
         """[..., k, N] u32 residues of a centered value -> exact u64
         (mod 2^64); valid for |X| < C/2 * (1 - 2^-27)."""

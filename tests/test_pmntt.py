@@ -180,3 +180,27 @@ def test_fwd_tensor3_matches_fwd_then_pointwise():
         want_full = np.asarray(plan.inv(jnp.asarray(want_hat)))
         got_full = np.asarray(plan.fwd_tensor3(xj, full=True))
         np.testing.assert_array_equal(got_full, want_full)
+
+
+def test_ks_full_limbs_matches_fwd_then_inv_ks():
+    """The per-limb-residue megakernel variant (TFHE signed-digit
+    shape) == plan.fwd followed by inv_ks, bit-exactly."""
+    n = 256
+    mods, plan, _ = _plans(n, k=3)
+    rng = np.random.default_rng(23)
+    kdig = 4
+    rows = 2
+    k = len(mods)
+    d = np.empty((rows, kdig, k, n), np.uint32)
+    k0 = np.empty((kdig, k, n), np.uint32)
+    k1 = np.empty((kdig, k, n), np.uint32)
+    for j, q in enumerate(mods):
+        d[..., j, :] = rng.integers(0, q, (rows, kdig, n),
+                                    dtype=np.uint32)
+        k0[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+        k1[:, j] = rng.integers(0, q, (kdig, n), dtype=np.uint32)
+    dj = jnp.asarray(d)
+    k0j, k1j = jnp.asarray(k0), jnp.asarray(k1)
+    want = np.asarray(plan.inv_ks(plan.fwd(dj), k0j, k1j))
+    got = np.asarray(plan.ks_full_limbs(dj, k0j, k1j))
+    np.testing.assert_array_equal(got, want)

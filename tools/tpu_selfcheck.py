@@ -144,6 +144,12 @@ def main():
         got = np.asarray(jax.jit(plan_k.ks_full)(d_raw, k0_t, k1_t))
         check("ks_full vs fwd_broadcast+inv_ks", np.array_equal(got, want))
 
+        # per-limb-residue variant (TFHE signed-digit shape)
+        want = np.asarray(jax.jit(lambda d, u, v: plan_k.inv_ks(
+            plan_k.fwd(d), u, v))(d_t, k0_t, k1_t))
+        got = np.asarray(jax.jit(plan_k.ks_full_limbs)(d_t, k0_t, k1_t))
+        check("ks_full_limbs vs fwd+inv_ks", np.array_equal(got, want))
+
         x_t = jnp.asarray(
             rng.integers(0, 1 << 28, (2, ctx.mul_base.k, ctx.n)),
             jnp.uint32) % jnp.asarray(
