@@ -409,10 +409,14 @@ def _blind_rotate_ntt(test_poly, lwe_ct, bsk: NttBootstrapKey,
             bsk.rows, i, 0, keepdims=False)              # [kdig, k+1, kp, N]
         import os
         if kk == 1 and os.environ.get(
-                "SUNSCREEN_TPU_TFHE_KSFULL", "1") != "0":
-            # round-5 megakernel: the step's digit forward transforms,
-            # contraction, and inverse run as ONE Pallas launch
-            # (launch count dominates the small-N step)
+                "SUNSCREEN_TPU_TFHE_KSFULL", "0") != "0":
+            # OPT-IN megakernel: the step's digit forward transforms,
+            # contraction, and inverse as ONE Pallas launch. Measured
+            # round 5 (real chip, b64): latency 34.7 ms vs 25.7 and
+            # throughput 46.7 vs 51.7 PBS/s for the two-kernel path —
+            # the longer sequential body loses more to lost intra-step
+            # pipelining than the saved launch gains (same verdict as
+            # the BFV ks_full). Kept selectable + selfchecked.
             upd = plan.ks_full(plan.signed_to_rns(d), ks[:, 0], ks[:, 1])
         elif kk == 1:
             d_hat = plan.fwd(plan.signed_to_rns(d))      # [..., kdig, kp, N]
