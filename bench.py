@@ -91,6 +91,11 @@ def main():
         return ops.multiply_relin(ctx, a, b, KswKey(k0, k1))
 
     out = jax.block_until_ready(step(cts, cts, rlk.k0, rlk.k1))  # compile
+    # real fetch of THIS executable's output: through the tunnel,
+    # block_until_ready returns early for a freshly compiled step even
+    # after other fetches in the process (measured round 5: a b64 run
+    # without this read 680k "ops/s")
+    np.asarray(out[0, 0, 0, :4])
 
     # timed: REPEATED measurement, median-of-reps — single 20-iter
     # loops showed a ~10% tunnel-jitter band across driver captures
@@ -108,6 +113,14 @@ def main():
         rates.append(BATCH * iters / dt)
     rates.sort()
     ops_per_s = rates[len(rates) // 2]
+    # plausibility guard: the exact-arithmetic MAC floor of this op on
+    # a single v5e is ~10 us (PERF_NOTES round-5 accounting) — a
+    # median implying < 20 us/op means timing ran async (early-return
+    # block) and the number is fantasy; fail loudly instead
+    if ops_per_s > 50_000:
+        raise SystemExit(
+            f"bench timing implausible ({ops_per_s:.0f} ops/s): "
+            f"async early-return detected — fix the real-fetch guard")
 
     # correctness guard: decrypting the batched result must not crash
     # (sanity that we benchmarked a real op)
