@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -1350,24 +1351,28 @@ void ristretto_ipp_prove(
   defvec H = {h, nullptr, n, 0, {{0, 0, 0, 0}}};
   if (g_coeff_b) {
     G.coef = new sc[n];
-    for (long i = 0; i < n; i++) {
+    parallel_for(n, 8192, [&](long lo, long hi) {
       sc t;
-      sc_frombytes(t, g_coeff_b + 32 * i);
-      sc_to_mont(G.coef[i], t);
-    }
+      for (long i = lo; i < hi; i++) {
+        sc_frombytes(t, g_coeff_b + 32 * i);
+        sc_to_mont(G.coef[i], t);
+      }
+    });
   }
   ge a_pt, u_pt;
   ge_frombytes(a_pt, a_pt_b);
   ge_frombytes(u_pt, u_pt_b);
   // v1/v2 in Montgomery form for cheap folding / inner products
   sc *v1 = new sc[n], *v2 = new sc[n];
-  for (long i = 0; i < n; i++) {
+  parallel_for(n, 8192, [&](long lo, long hi) {
     sc t;
-    sc_frombytes(t, v1_in + 32 * i);
-    sc_to_mont(v1[i], t);
-    sc_frombytes(t, v2_in + 32 * i);
-    sc_to_mont(v2[i], t);
-  }
+    for (long i = lo; i < hi; i++) {
+      sc_frombytes(t, v1_in + 32 * i);
+      sc_to_mont(v1[i], t);
+      sc_frombytes(t, v2_in + 32 * i);
+      sc_to_mont(v2[i], t);
+    }
+  });
   sc rho;
   {
     sc t;
@@ -1391,15 +1396,35 @@ void ristretto_ipp_prove(
       sc_frombytes(t, rand_b + 64 * round + 32);
       sc_to_mont(sigma_m1_m, t);
     }
-    // x_m1 = <v1b, v2t>, x_p1 = <v1t, v2b>
+    // x_m1 = <v1b, v2t>, x_p1 = <v1t, v2b> (threaded partials:
+    // the serial scalar algebra was a measurable slice of create at
+    // l ~ 278k — round-5 profile)
     sc x_m1_m, x_p1_m, prod;
-    memset(&x_m1_m, 0, sizeof(x_m1_m));
-    memset(&x_p1_m, 0, sizeof(x_p1_m));
-    for (long i = 0; i < n2; i++) {
-      sc_montmul(prod, v1[n2 + i], v2[i]);
-      sc_add(x_m1_m, x_m1_m, prod);
-      sc_montmul(prod, v1[i], v2[n2 + i]);
-      sc_add(x_p1_m, x_p1_m, prod);
+    {
+      sc pm1[8], pp1[8];
+      memset(pm1, 0, sizeof(pm1));
+      memset(pp1, 0, sizeof(pp1));
+      std::atomic<int> slot{0};
+      parallel_for(n2, 8192, [&](long lo, long hi) {
+        int s = slot.fetch_add(1);
+        sc a, b, p;
+        memset(&a, 0, sizeof(a));
+        memset(&b, 0, sizeof(b));
+        for (long i = lo; i < hi; i++) {
+          sc_montmul(p, v1[n2 + i], v2[i]);
+          sc_add(a, a, p);
+          sc_montmul(p, v1[i], v2[n2 + i]);
+          sc_add(b, b, p);
+        }
+        pm1[s] = a;
+        pp1[s] = b;
+      });
+      memset(&x_m1_m, 0, sizeof(x_m1_m));
+      memset(&x_p1_m, 0, sizeof(x_p1_m));
+      for (int s = 0; s < 8; s++) {
+        sc_add(x_m1_m, x_m1_m, pm1[s]);
+        sc_add(x_p1_m, x_p1_m, pp1[s]);
+      }
     }
     sc tmp;
     // t_m1 = <v1b, gt> + <v2t, hb> + x_m1*a + sigma_m1*u
@@ -1451,13 +1476,16 @@ void ristretto_ipp_prove(
       materialize(G, &c_m);
       materialize(H, &c_inv_m);
     }
-    // fold vectors: v1 = v1t + c_inv*v1b, v2 = v2t + c*v2b
-    for (long i = 0; i < n2; i++) {
-      sc_montmul(prod, v1[n2 + i], c_inv_m);
-      sc_add(v1[i], v1[i], prod);
-      sc_montmul(prod, v2[n2 + i], c_m);
-      sc_add(v2[i], v2[i], prod);
-    }
+    // fold vectors: v1 = v1t + c_inv*v1b, v2 = v2t + c*v2b (threaded)
+    parallel_for(n2, 8192, [&](long lo, long hi) {
+      sc p;
+      for (long i = lo; i < hi; i++) {
+        sc_montmul(p, v1[n2 + i], c_inv_m);
+        sc_add(v1[i], v1[i], p);
+        sc_montmul(p, v2[n2 + i], c_m);
+        sc_add(v2[i], v2[i], p);
+      }
+    });
     // rho = c_inv*sigma_m1 + rho + c*sigma
     sc_montmul(prod, c_inv_m, sigma_m1_m);
     sc_add(rho, rho, prod);
