@@ -14,6 +14,7 @@ import numpy as np
 from sunscreen_tpu.bfv.params import MAX_LOG_Q, BfvParams, \
     batching_plain_modulus, default_moduli, default_moduli_u32
 from sunscreen_tpu.compiler import noise as noise_model
+from sunscreen_tpu.errors import ParamsError
 from sunscreen_tpu.compiler.ir import FheProgram
 from sunscreen_tpu.compiler.passes import compile_program
 from sunscreen_tpu.compiler.trace import CallSignature, FheProgramFn
@@ -209,7 +210,10 @@ class Compiler:
                 t = self._plain_constraint.modulus_for(n)
                 qs, sp = self._moduli_for(n)
                 params = BfvParams(n, t, qs, sp, self._security)
-            except (AssertionError, ValueError) as e:
+            except (AssertionError, ValueError, ParamsError) as e:
+                # candidate invalid at this degree (e.g. the u32
+                # engine's small-N limbs are below a batching plain
+                # modulus — params.py validation, round 5) -> next N
                 last_err = e
                 continue
             ok = True

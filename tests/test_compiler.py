@@ -520,3 +520,17 @@ def test_run_with_multiple_key_sets_galois():
         (out,) = rt.run(prog, [ct], pub)
         got = np.asarray(rt.decrypt(out, priv)).reshape(-1)
         np.testing.assert_array_equal(got, want, err_msg=f"seed={seed}")
+
+
+def test_search_skips_invalid_u32_small_n_candidates():
+    """Round-5 regression: the u32 engine's small-N chains can have
+    limbs BELOW a 20-bit batching plain modulus; BfvParams validation
+    (ParamsError) must mean 'next degree', not a crashed search. This
+    is the TPU default path (engine auto -> u32) that
+    examples/simple_multiply.py exercises on hardware."""
+    c = (Compiler().fhe_program(simple_multiply).engine("u32")
+         .use_measured_noise_model(False))
+    params = c._search_params()
+    assert params.poly_degree >= 4096
+    assert params.plain_modulus < min(params.coeff_modulus)
+    assert max(q.bit_length() for q in params.coeff_modulus) <= 30
